@@ -1,0 +1,277 @@
+"""Alphabets and parsimony tables for DNA / protein / codon data.
+
+TPU-native reimplementation of the alphabet layer of PAGAN2
+(reference: src/utils/model_factory.cpp:120-299 for DNA,
+:304-665 for protein, :839-1100 for codons). All tables are dense
+numpy arrays so they can be shipped to device as gather tables.
+
+State encoding follows the reference exactly:
+  DNA:      15 states  "ACGTRYMKWSBDHVN"  (4 canonical + 11 IUPAC)
+  protein:  211 states "ARNDCQEGHILKMFPSTWYV" + X + 190 unordered pairs
+  codon:    1892 states: 61 sense codons + NNN + 1830 unordered pairs
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DNA = "dna"
+PROTEIN = "protein"
+CODON = "codon"
+
+DNA_CHARS = "ACGT"
+DNA_FULL_CHARS = "ACGTRYMKWSBDHVN"
+PROTEIN_CHARS = "ARNDCQEGHILKMFPSTWYV"
+
+# 61 sense codons in the reference's fixed order (alphabetical, stops removed)
+# reference: model_factory.cpp:841
+_BASES = "ACGT"
+_STOPS = {"TAA", "TAG", "TGA"}
+CODONS = [a + b + c for a in _BASES for b in _BASES for c in _BASES
+          if a + b + c not in _STOPS]
+assert len(CODONS) == 61
+
+
+@dataclass
+class Alphabet:
+    """A resolved alphabet: canonical size, full (ambiguity-extended) size,
+    symbol list, and parsimony tables.
+
+    Attributes
+    ----------
+    n_canon : number of canonical states (4 / 20 / 61)
+    n_full  : number of full states incl. ambiguity codes
+    symbols : list of display strings, one per full state
+    n_units : number of canonical residues each full state stands for
+    members : (n_full, max_units) int array of canonical residue indices
+              padded with -1
+    parsimony : (n_full, n_full) int table — the ancestral state assigned
+              to a parent whose children carry states (i, j)
+    child_parsimony : (n_full, n_full) int table used when pushing a
+              resolved parent state back down to children
+    mostcommon : int table (DNA: same as parsimony; protein/codon:
+              (n_canon, n_canon) argmax-pi winner)
+    """
+    name: str
+    n_canon: int
+    n_full: int
+    symbols: list[str]
+    n_units: np.ndarray
+    members: np.ndarray
+    parsimony: np.ndarray
+    child_parsimony: np.ndarray
+    mostcommon: np.ndarray
+    # index of first/second canonical member for 2-unit pair states; -1 else
+    first_unit: np.ndarray = field(default=None)
+    second_unit: np.ndarray = field(default=None)
+    char_to_state: dict = field(default_factory=dict)
+
+    @property
+    def gap_symbol(self) -> str:
+        return "---" if self.name == CODON else "-"
+
+    def state_of(self, symbol: str) -> int:
+        return self.char_to_state.get(symbol, -1)
+
+
+def _pair_index(n_canon: int, i: int, j: int) -> int:
+    """Full-state index of the unordered canonical pair {i<j}: the pairs are
+    enumerated row-major over the upper triangle after the n_canon singles
+    and the one wildcard state (reference: model_factory.cpp:344-363,
+    :879-896, and the closed form at :1009-1024)."""
+    c1, c2 = min(i, j), max(i, j)
+    base = n_canon + 1
+    # rows 0..c1-1 contribute (n_canon-1), (n_canon-2), ...
+    off = c1 * (n_canon - 1) - (c1 * (c1 - 1)) // 2
+    return base + off + (c2 - c1 - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def dna_alphabet() -> Alphabet:
+    """DNA-15 with bitwise IUPAC parsimony (model_factory.cpp:120-299)."""
+    ambi = ["A", "C", "G", "T", "AG", "CT", "AC", "GT", "AT", "CG",
+            "CGT", "AGT", "ACT", "ACG", "ACGT"]
+    n_full = 15
+    bits = np.zeros(n_full, dtype=np.int64)
+    for i, s in enumerate(ambi):
+        for ch in s:
+            bits[i] |= 1 << DNA_CHARS.index(ch)
+    bit_to_state = {int(b): i for i, b in enumerate(bits)}
+
+    parsimony = np.zeros((n_full, n_full), dtype=np.int32)
+    for i in range(n_full):
+        for j in range(n_full):
+            v = bits[i] & bits[j]
+            parsimony[i, j] = bit_to_state[int(v if v > 0 else bits[i] | bits[j])]
+
+    child_parsimony = np.zeros_like(parsimony)
+    for i in range(n_full):
+        for j in range(n_full):
+            if bits[i] & bits[j] > 0:
+                child_parsimony[i, j] = parsimony[i, j]
+            else:
+                child_parsimony[i, j] = j
+
+    max_units = 4
+    members = np.full((n_full, max_units), -1, dtype=np.int32)
+    n_units = np.zeros(n_full, dtype=np.int32)
+    for i, s in enumerate(ambi):
+        n_units[i] = len(s)
+        for k, ch in enumerate(s):
+            members[i, k] = DNA_CHARS.index(ch)
+
+    return Alphabet(
+        name=DNA, n_canon=4, n_full=n_full,
+        symbols=list(DNA_FULL_CHARS),
+        n_units=n_units, members=members,
+        parsimony=parsimony, child_parsimony=child_parsimony,
+        mostcommon=parsimony.copy(),
+        first_unit=members[:, 0].copy(),
+        second_unit=members[:, 1].copy(),
+        char_to_state={c: i for i, c in enumerate(DNA_FULL_CHARS)},
+    )
+
+
+def _paired_alphabet(n_canon: int, singles: list[str], wildcard: str,
+                     pi: np.ndarray, q: np.ndarray, name: str) -> Alphabet:
+    """Shared construction for protein (X + pairs) and codon (NNN + pairs)
+    alphabets (model_factory.cpp:304-665, :839-1100)."""
+    symbols = list(singles) + [wildcard]
+    first = list(range(n_canon)) + [n_canon]
+    second = [-1] * (n_canon + 1)
+    for i in range(n_canon - 1):
+        for j in range(i + 1, n_canon):
+            symbols.append(singles[i] + "|" + singles[j])
+            first.append(i)
+            second.append(j)
+    n_full = len(symbols)
+    first = np.array(first, dtype=np.int32)
+    second = np.array(second, dtype=np.int32)
+
+    n_units = np.where(second >= 0, 2, 1).astype(np.int32)
+    n_units[n_canon] = 1  # wildcard is formally n_units=1 in pair logic
+    members = np.full((n_full, 2), -1, dtype=np.int32)
+    members[:, 0] = first
+    members[:, 1] = second
+
+    # pair-state lookup for canonical (i, j)
+    pair_of = np.zeros((n_canon, n_canon), dtype=np.int32)
+    for i in range(n_canon):
+        for j in range(n_canon):
+            pair_of[i, j] = i if i == j else _pair_index(n_canon, i, j)
+
+    parsimony = np.zeros((n_full, n_full), dtype=np.int32)
+    for i in range(n_full):
+        fi, si, ui = first[i], second[i], n_units[i]
+        for j in range(n_full):
+            fj, sj, uj = first[j], second[j], n_units[j]
+            if i == j:
+                parsimony[i, j] = i
+            elif fi == n_canon:          # wildcard parent side
+                parsimony[i, j] = j
+            elif fj == n_canon:
+                parsimony[i, j] = i
+            elif ui == 1 and uj == 1:
+                parsimony[i, j] = pair_of[fi, fj]
+            elif ui == 1 and uj == 2 and (fi == fj or fi == sj):
+                parsimony[i, j] = fi
+            elif uj == 1 and ui == 2 and (fj == fi or fj == si):
+                parsimony[i, j] = fj
+            else:
+                # disjoint: pick the (m, n) pair maximising Q(m, n)
+                cands = [(fi, fj)]
+                if uj == 2:
+                    cands.append((fi, sj))
+                if ui == 2:
+                    cands.append((si, fj))
+                if ui == 2 and uj == 2:
+                    cands.append((si, sj))
+                best = cands[0]
+                best_q = q[best]
+                for m, n in cands[1:]:
+                    if q[m, n] > best_q:
+                        best_q = q[m, n]
+                        best = (m, n)
+                parsimony[i, j] = pair_of[best[0], best[1]]
+
+    child_parsimony = np.zeros_like(parsimony)
+    for i in range(n_full):
+        fi, si, ui = first[i], second[i], n_units[i]
+        for j in range(n_full):
+            fj, sj, uj = first[j], second[j], n_units[j]
+            if i == j or fi == n_canon:
+                child_parsimony[i, j] = j
+            elif fj == n_canon:
+                child_parsimony[i, j] = i
+            elif uj == 1:
+                child_parsimony[i, j] = j
+            elif ui == 1:
+                child_parsimony[i, j] = i if (fi == fj or fi == sj) else j
+            else:
+                c = -1
+                if fi == fj or fi == sj:
+                    c = fi
+                elif si == fj or si == sj:
+                    c = si
+                child_parsimony[i, j] = c if c >= 0 else j
+
+    mostcommon = np.zeros((n_canon, n_canon), dtype=np.int32)
+    for i in range(n_canon):
+        for j in range(n_canon):
+            mostcommon[i, j] = i if pi[i] > pi[j] else j
+
+    char_to_state = {s: i for i, s in enumerate(symbols[:n_canon + 1])}
+
+    return Alphabet(
+        name=name, n_canon=n_canon, n_full=n_full, symbols=symbols,
+        n_units=n_units, members=members,
+        parsimony=parsimony, child_parsimony=child_parsimony,
+        mostcommon=mostcommon, first_unit=first, second_unit=second,
+        char_to_state=char_to_state,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def protein_alphabet() -> Alphabet:
+    from .model_data import wag_matrices
+    pi, q = wag_matrices()
+    return _paired_alphabet(20, list(PROTEIN_CHARS), "X", pi, q, PROTEIN)
+
+
+@functools.lru_cache(maxsize=None)
+def codon_alphabet() -> Alphabet:
+    from .model_data import ecm_matrices
+    pi, q = ecm_matrices()
+    alpha = _paired_alphabet(61, CODONS, "NNN", pi, q, CODON)
+    return alpha
+
+
+def get_alphabet(name: str) -> Alphabet:
+    if name == DNA:
+        return dna_alphabet()
+    if name == PROTEIN:
+        return protein_alphabet()
+    if name == CODON:
+        return codon_alphabet()
+    raise ValueError(f"unknown alphabet {name!r}")
+
+
+# Ancestral display alphabets (reference: model_factory.cpp:1469-1472,
+# :1581-1594, :1739-1746): the symbol printed for an ancestral state.
+def ancestral_symbols(name: str) -> list[str]:
+    if name == DNA:
+        return list(DNA_FULL_CHARS)
+    if name == PROTEIN:
+        a = protein_alphabet()
+        from .model_data import wag_matrices
+        pi, _ = wag_matrices()
+        out = list(PROTEIN_CHARS) + ["X"]
+        for i in range(19):
+            for j in range(i + 1, 20):
+                out.append(PROTEIN_CHARS[i] if pi[i] > pi[j] else PROTEIN_CHARS[j])
+        return out
+    if name == CODON:
+        return CODONS + ["NNN"]
+    raise ValueError(name)
