@@ -170,12 +170,16 @@ class TestEvolModel:
         # score(N, N) = global max over canonical
         assert m.score[N, N] == pytest.approx(m.score[:4, :4].max(), abs=0)
 
-    def test_symmetric_scores(self):
-        # log-odds scaling of a reversible model is symmetric
-        mf = ModelFactory(alph.DNA, dna_pi=np.array([0.4, 0.1, 0.2, 0.3]))
+    def test_score_detailed_balance_relation(self):
+        # lo[i,j]/lo[j,i] = P_ij/P_ji = pi_j/pi_i under detailed balance
+        pi = np.array([0.4, 0.1, 0.2, 0.3])
+        mf = ModelFactory(alph.DNA, dna_pi=pi)
         m = mf.alignment_model(0.15)
-        np.testing.assert_allclose(m.score[:4, :4], m.score[:4, :4].T,
-                                   rtol=1e-6)
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    assert m.score[i, j] / m.score[j, i] == pytest.approx(
+                        pi[j] / pi[i], rel=1e-5)
 
     def test_protein_model(self):
         mf = ModelFactory(alph.PROTEIN)
