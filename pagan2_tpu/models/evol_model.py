@@ -171,7 +171,7 @@ class ModelFactory:
             w = self.ambiguity_factor ** int(a.n_units[j])
             for k in range(int(a.n_units[j])):
                 m = int(a.members[j, k])
-                if m >= 0:
+                if 0 <= m < a.n_canon:
                     amb[m, j] = w
         # the wildcard state covers every canonical residue
         if data_type != alph.DNA:
