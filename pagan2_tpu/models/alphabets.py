@@ -162,60 +162,64 @@ def _paired_alphabet(n_canon: int, singles: list[str], wildcard: str,
         for j in range(n_canon):
             pair_of[i, j] = i if i == j else _pair_index(n_canon, i, j)
 
-    parsimony = np.zeros((n_full, n_full), dtype=np.int32)
-    for i in range(n_full):
-        fi, si, ui = first[i], second[i], n_units[i]
-        for j in range(n_full):
-            fj, sj, uj = first[j], second[j], n_units[j]
-            if i == j:
-                parsimony[i, j] = i
-            elif fi == n_canon:          # wildcard parent side
-                parsimony[i, j] = j
-            elif fj == n_canon:
-                parsimony[i, j] = i
-            elif ui == 1 and uj == 1:
-                parsimony[i, j] = pair_of[fi, fj]
-            elif ui == 1 and uj == 2 and (fi == fj or fi == sj):
-                parsimony[i, j] = fi
-            elif uj == 1 and ui == 2 and (fj == fi or fj == si):
-                parsimony[i, j] = fj
-            else:
-                # disjoint: pick the (m, n) pair maximising Q(m, n)
-                cands = [(fi, fj)]
-                if uj == 2:
-                    cands.append((fi, sj))
-                if ui == 2:
-                    cands.append((si, fj))
-                if ui == 2 and uj == 2:
-                    cands.append((si, sj))
-                best = cands[0]
-                best_q = q[best]
-                for m, n in cands[1:]:
-                    if q[m, n] > best_q:
-                        best_q = q[m, n]
-                        best = (m, n)
-                parsimony[i, j] = pair_of[best[0], best[1]]
+    # --- vectorised parsimony table -------------------------------------
+    FI, FJ = np.meshgrid(first, first, indexing="ij")
+    SI, SJ = np.meshgrid(second, second, indexing="ij")
+    UI, UJ = np.meshgrid(n_units, n_units, indexing="ij")
+    II, JJ = np.meshgrid(np.arange(n_full, dtype=np.int32),
+                         np.arange(n_full, dtype=np.int32), indexing="ij")
 
-    child_parsimony = np.zeros_like(parsimony)
-    for i in range(n_full):
-        fi, si, ui = first[i], second[i], n_units[i]
-        for j in range(n_full):
-            fj, sj, uj = first[j], second[j], n_units[j]
-            if i == j or fi == n_canon:
-                child_parsimony[i, j] = j
-            elif fj == n_canon:
-                child_parsimony[i, j] = i
-            elif uj == 1:
-                child_parsimony[i, j] = j
-            elif ui == 1:
-                child_parsimony[i, j] = i if (fi == fj or fi == sj) else j
-            else:
-                c = -1
-                if fi == fj or fi == sj:
-                    c = fi
-                elif si == fj or si == sj:
-                    c = si
-                child_parsimony[i, j] = c if c >= 0 else j
+    si_safe = np.where(SI >= 0, SI, 0)
+    sj_safe = np.where(SJ >= 0, SJ, 0)
+    fi_safe = np.where(FI < n_canon, FI, 0)  # wildcard rows are overridden
+    fj_safe = np.where(FJ < n_canon, FJ, 0)  # by earlier select branches
+
+    # max-Q candidate search over the <=4 cross pairs, in the reference's
+    # scan order (first strictly-greater wins)
+    neg = -np.inf
+    q00 = q[fi_safe, fj_safe]
+    q01 = np.where(UJ == 2, q[fi_safe, sj_safe], neg)
+    q10 = np.where(UI == 2, q[si_safe, fj_safe], neg)
+    q11 = np.where((UI == 2) & (UJ == 2), q[si_safe, sj_safe], neg)
+    stackq = np.stack([q00, q01, q10, q11])
+    best = np.argmax(stackq, axis=0)  # first max wins, matching strict >
+    best_m = np.choose(best, [fi_safe, fi_safe, si_safe, si_safe])
+    best_n = np.choose(best, [fj_safe, sj_safe, fj_safe, sj_safe])
+    maxq_state = pair_of[best_m, best_n]
+
+    overlap_ij = (FI == FJ) | (FI == SJ)   # fi in members(j)
+    overlap_ji = (FJ == FI) | (FJ == SI)   # fj in members(i)
+
+    parsimony = np.select(
+        [II == JJ,
+         FI == n_canon,
+         FJ == n_canon,
+         (UI == 1) & (UJ == 1),
+         (UI == 1) & (UJ == 2) & overlap_ij,
+         (UJ == 1) & (UI == 2) & overlap_ji],
+        [II, JJ, II, pair_of[fi_safe, fj_safe], FI, FJ],
+        default=0)
+    fallthrough = ~((II == JJ) | (FI == n_canon) | (FJ == n_canon)
+                    | ((UI == 1) & (UJ == 1))
+                    | ((UI == 1) & (UJ == 2) & overlap_ij)
+                    | ((UJ == 1) & (UI == 2) & overlap_ji))
+    parsimony = np.where(fallthrough, maxq_state, parsimony).astype(np.int32)
+
+    # --- vectorised child-parsimony table -------------------------------
+    c_val = np.where((FI == FJ) | (FI == SJ), FI,
+                     np.where((SI == FJ) | (SI == SJ), si_safe, -1))
+    pair_branch = np.where(c_val >= 0, c_val, JJ)
+    child_parsimony = np.select(
+        [(II == JJ) | (FI == n_canon),
+         FJ == n_canon,
+         UJ == 1,
+         UI == 1],
+        [JJ, II, JJ, np.where(overlap_ij, II, JJ)],
+        default=0)
+    both_pairs = ~((II == JJ) | (FI == n_canon) | (FJ == n_canon)
+                   | (UJ == 1) | (UI == 1))
+    child_parsimony = np.where(both_pairs, pair_branch,
+                               child_parsimony).astype(np.int32)
 
     mostcommon = np.zeros((n_canon, n_canon), dtype=np.int32)
     for i in range(n_canon):

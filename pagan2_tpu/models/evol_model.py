@@ -201,11 +201,30 @@ class ModelFactory:
         # (model_factory.cpp:1993-2017 DNA; :2155-2220 protein; :2026-2090
         # codon — for two-member pair states all reduce to this max)
         if a.n_full > a.n_canon:
-            amb = self._amb
-            # m1[n, j] = max_m lo[n, m] * amb[m, j]
-            m1 = np.max(lo[:, :, None] * amb[None, :, :], axis=1)
-            # ext[i, j] = max_n m1[n, j] * amb[n, i]
-            ext = np.max(m1[:, None, :] * amb[:, :, None], axis=0)
+            if self.data_type == alph.DNA:
+                amb = self._amb
+                # m1[n, j] = max_m lo[n, m] * amb[m, j]
+                m1 = np.max(lo[:, :, None] * amb[None, :, :], axis=1)
+                # ext[i, j] = max_n m1[n, j] * amb[n, i]
+                ext = np.max(m1[:, None, :] * amb[:, :, None], axis=0)
+            else:
+                # pair states carry at most two members, so the max-product
+                # reduces to a max over the <=4 cross pairs; the wildcard
+                # row/column is the row/col max of those (reference
+                # :2155-2220). Memory stays O(n_full^2).
+                nc = a.n_canon
+                fi = np.where(a.first_unit < nc, a.first_unit, 0)
+                si = np.where(a.second_unit >= 0, a.second_unit, a.first_unit)
+                si = np.where(si < nc, si, 0)
+                ext = np.maximum.reduce([
+                    lo[np.ix_(fi, fi)], lo[np.ix_(fi, si)],
+                    lo[np.ix_(si, fi)], lo[np.ix_(si, si)]])
+                # wildcard vs j: max over canonical n of ext(n, j)
+                wild_col = ext[:nc, :].max(axis=0)
+                wild_row = ext[:, :nc].max(axis=1)
+                ext[nc, :] = wild_col
+                ext[:, nc] = wild_row
+                ext[nc, nc] = lo.max()
             canon = np.zeros(a.n_full, dtype=bool)
             canon[:a.n_canon] = True
             both_canon = canon[:, None] & canon[None, :]
