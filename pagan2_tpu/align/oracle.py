@@ -1,0 +1,511 @@
+"""Host-side reference implementation of the pairwise graph-vs-graph
+3-state Viterbi DP.
+
+This is a literal (slow, loop-based) transliteration of
+Viterbi_alignment::align (src/main/viterbi_alignment.cpp:187-465) with the
+exact candidate evaluation order and strict-greater first-wins tie-breaks
+(basic_alignment.h:449-462). It is the ground-truth oracle the vectorized
+JAX / Pallas kernels are tested against, and the fallback engine for tiny
+problems.
+
+Scores are float64; model parameters arrive float32-rounded from
+EvolModel, matching the reference's double-DP-over-float-params layout.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.sequence_graph import SequenceGraph, BREAK_START_SITE, REAL_SITE
+from ..models.evol_model import EvolModel
+from .settings import (AlignSettings, X_MAT, Y_MAT, M_MAT,
+                       NORMAL_GAP, END_GAP, PAIR_BREAK_GAP)
+
+NEG = -np.inf
+
+
+@dataclass
+class MatrixPtr:
+    """Matrix_pointer (basic_alignment.h:33-50)."""
+    score: float = NEG
+    fwd_score: float = 0.0
+    bwd_score: float = 0.0
+    full_score: float = 0.0
+    x_ind: int = -1
+    y_ind: int = -1
+    x_edge_ind: int = -1
+    y_edge_ind: int = -1
+    matrix: int = -1
+
+    def copy(self) -> "MatrixPtr":
+        return MatrixPtr(self.score, self.fwd_score, self.bwd_score,
+                         self.full_score, self.x_ind, self.y_ind,
+                         self.x_edge_ind, self.y_edge_ind, self.matrix)
+
+
+@dataclass
+class PathPtr:
+    """Path_pointer (basic_alignment.h:52-65)."""
+    mp: MatrixPtr
+    real_site: bool
+    branch_length_increase: float = 0.0
+    branch_count_increase: int = 0
+
+
+class _ColView:
+    """Column slice of a row-major matrix-of-pointers (Tunnel_slice stand-in)."""
+    __slots__ = ("mat", "j")
+
+    def __init__(self, mat, j):
+        self.mat = mat
+        self.j = j
+
+    def __getitem__(self, i):
+        return self.mat[i][self.j]
+
+
+def first_is_bigger(a: float, b: float) -> bool:
+    if a == NEG and b == NEG:
+        return False
+    return a > b
+
+
+class PairAligner:
+    """One pairwise alignment: fill, (optional) fwd/bwd full probability,
+    backtrack. Produces the DP path; graph building lives in ancestral.py."""
+
+    def __init__(self, left: SequenceGraph, right: SequenceGraph,
+                 model: EvolModel, settings: AlignSettings,
+                 left_branch_length: float = 0.0,
+                 right_branch_length: float = 0.0):
+        self.left = left
+        self.right = right
+        self.model = model
+        self.s = settings
+        self.left_branch_length = left_branch_length
+        self.right_branch_length = right_branch_length
+
+        self.L = left.num_sites() - 1    # DP rows 0..L-? (shape L)
+        self.R = right.num_sites() - 1
+
+        # no-gap-penalty bookkeeping (mark_no_gap_penalty_sites,
+        # basic_alignment.h:633-676)
+        self.x_length = left.num_sites() if settings.reduced_terminal_gap_penalties else -1
+        self.y_length = right.num_sites() if settings.reduced_terminal_gap_penalties else -1
+        self.x_read1_length = -1
+        self.y_read1_length = -1
+        if settings.pair_end_reads and settings.reduced_terminal_gap_penalties:
+            for i in range(left.num_sites()):
+                if left.site_type[i] == BREAK_START_SITE:
+                    self.x_read1_length = i
+                    left.site_type[i] = REAL_SITE
+            for i in range(right.num_sites()):
+                if right.site_type[i] == BREAK_START_SITE:
+                    self.y_read1_length = i
+                    right.site_type[i] = REAL_SITE
+
+        n, m = self.L, self.R
+        self.M = [[MatrixPtr() for _ in range(m)] for _ in range(n)]
+        self.X = [[MatrixPtr() for _ in range(m)] for _ in range(n)]
+        self.Y = [[MatrixPtr() for _ in range(m)] for _ in range(n)]
+
+    # -- helpers ------------------------------------------------------
+    def _log_gap_open_penalty(self, prev_site: int, is_x: bool) -> float:
+        """basic_alignment.h:490-513"""
+        s = self.s
+        if s.reduced_terminal_gap_penalties:
+            if prev_site == 0:
+                return 0.0
+            if s.pair_end_reads:
+                if is_x and prev_site == self.x_read1_length:
+                    return 0.0
+                if not is_x and prev_site == self.y_read1_length:
+                    return 0.0
+        return self.model.log_gap_open()
+
+    def _log_gap_close_penalty(self, this_site: int, is_x: bool) -> float:
+        """basic_alignment.h:515-542"""
+        s = self.s
+        if s.reduced_terminal_gap_penalties:
+            if is_x and this_site == self.x_length:
+                return 0.0
+            if not is_x and this_site == self.y_length:
+                return 0.0
+            if s.pair_end_reads:
+                if is_x and this_site == self.x_read1_length + 1:
+                    return 0.0
+                if not is_x and this_site == self.y_read1_length + 1:
+                    return 0.0
+        return self.model.log_gap_close()
+
+    # -- scoring kernels (viterbi_alignment.cpp:2029-2255) ------------
+    def _score_gap_ext(self, edge_id, seq, z_col, mx: MatrixPtr,
+                       is_x: bool, gap_type: int):
+        prev = seq.edges.start[edge_id]
+        m = self.model
+        if gap_type == END_GAP:
+            ext = m.log_gap_end_ext()
+        elif gap_type == PAIR_BREAK_GAP:
+            ext = m.log_gap_break_ext()
+        else:
+            ext = m.log_gap_ext()
+        sc = z_col[prev].score + ext
+        if first_is_bigger(sc, mx.score):
+            mx.score = sc
+            if is_x:
+                mx.matrix = X_MAT
+                mx.x_ind = prev
+                mx.x_edge_ind = edge_id
+            else:
+                mx.matrix = Y_MAT
+                mx.y_ind = prev
+                mx.y_edge_ind = edge_id
+        if self.s.compute_full_score:
+            # the fwd full-prob pass always uses the plain extension prob,
+            # even at end/pair-break gaps (viterbi_alignment.cpp:2151-2154)
+            mx.fwd_score += z_col[prev].fwd_score * m.ext_prob
+
+    def _score_gap_double(self, edge_id, seq, w_col, mx: MatrixPtr,
+                          is_x: bool):
+        prev = seq.edges.start[edge_id]
+        m = self.model
+        sc = w_col[prev].score + m.log_gap_close() + m.log_gap_open()
+        if first_is_bigger(sc, mx.score):
+            mx.score = sc
+            if is_x:
+                mx.matrix = Y_MAT
+                mx.x_ind = prev
+                mx.x_edge_ind = edge_id
+            else:
+                mx.matrix = X_MAT
+                mx.y_ind = prev
+                mx.y_edge_ind = edge_id
+        if self.s.compute_full_score:
+            mx.fwd_score += w_col[prev].fwd_score * m.gap_close() * m.gap_open()
+
+    def _score_gap_open(self, edge_id, seq, m_col, mx: MatrixPtr,
+                        is_x: bool):
+        prev = seq.edges.start[edge_id]
+        m = self.model
+        sc = m_col[prev].score + m.log_non_gap() + \
+            self._log_gap_open_penalty(prev, is_x)
+        if first_is_bigger(sc, mx.score):
+            mx.score = sc
+            mx.matrix = M_MAT
+            if is_x:
+                mx.x_ind = prev
+                mx.x_edge_ind = edge_id
+            else:
+                mx.y_ind = prev
+                mx.y_edge_ind = edge_id
+        if self.s.compute_full_score:
+            mx.fwd_score += m_col[prev].fwd_score * m.non_gap() * m.gap_open()
+
+    def _score_gap_close(self, edge_id, seq, z_col, mx: MatrixPtr,
+                         is_x: bool):
+        prev = seq.edges.start[edge_id]
+        this = seq.edges.end[edge_id]
+        sc = z_col[prev].score + self._log_gap_close_penalty(this, is_x)
+        if first_is_bigger(sc, mx.score):
+            mx.score = sc
+            if is_x:
+                mx.matrix = X_MAT
+                mx.x_ind = prev
+                mx.x_edge_ind = edge_id
+                mx.y_edge_ind = -1
+            else:
+                mx.matrix = Y_MAT
+                mx.y_ind = prev
+                mx.y_edge_ind = edge_id
+                mx.x_edge_ind = -1
+        if self.s.compute_full_score:
+            mx.fwd_score += z_col[prev].fwd_score * self.model.gap_close()
+
+    def _score_match(self, which, le, re, log_match, mx: MatrixPtr,
+                     match_p):
+        """score_{m,x,y}_match (viterbi_alignment.cpp:2029-2112):
+        edge weights are added for match moves."""
+        lw = self.left_logw[le]
+        rw = self.right_logw[re]
+        lp = self.left.edges.start[le]
+        rp = self.right.edges.start[re]
+        mat = (self.M, self.X, self.Y)[which]
+        sc = mat[lp][rp].score + log_match + lw + rw
+        if first_is_bigger(sc, mx.score):
+            mx.score = sc
+            mx.x_ind = lp
+            mx.y_ind = rp
+            mx.x_edge_ind = le
+            mx.y_edge_ind = re
+            mx.matrix = (M_MAT, X_MAT, Y_MAT)[which]
+        if self.s.compute_full_score:
+            mx.fwd_score += mat[lp][rp].fwd_score * match_p * \
+                self.left_w[le] * self.right_w[re]
+
+    # -- cell fill (viterbi_alignment.cpp:856-971) --------------------
+    def compute_fwd_scores(self, i: int, j: int):
+        if i == 0 and j == 0:
+            return
+        s = self.s
+        j_gap_type = NORMAL_GAP
+        i_gap_type = NORMAL_GAP
+        if (j == 0 or j == self.R - 1) and not s.no_terminal_edges:
+            j_gap_type = END_GAP
+        if s.pair_end_reads and j == self.y_read1_length:
+            j_gap_type = PAIR_BREAK_GAP
+        if (i == 0 or i == self.L - 1) and not s.no_terminal_edges:
+            i_gap_type = END_GAP
+        if s.pair_end_reads and i == self.x_read1_length:
+            i_gap_type = PAIR_BREAK_GAP
+
+        max_x = self.X[i][j]
+        max_y = self.Y[i][j]
+        max_m = self.M[i][j]
+
+        if i > 0:
+            x_col = _ColView(self.X, j)
+            y_col = _ColView(self.Y, j)
+            m_col = _ColView(self.M, j)
+            for e in self.left.bwd[i]:
+                self._score_gap_ext(e, self.left, x_col, max_x, True,
+                                    j_gap_type)
+                self._score_gap_double(e, self.left, y_col, max_x, True)
+                self._score_gap_open(e, self.left, m_col, max_x, True)
+            max_x.y_ind = j
+
+        if j > 0:
+            x_row = self.X[i]
+            y_row = self.Y[i]
+            m_row = self.M[i]
+            for e in self.right.bwd[j]:
+                self._score_gap_ext(e, self.right, y_row, max_y, False,
+                                    i_gap_type)
+                self._score_gap_double(e, self.right, x_row, max_y, False)
+                self._score_gap_open(e, self.right, m_row, max_y, False)
+            max_y.x_ind = i
+
+        if i > 0 and j > 0:
+            self._match_cell(i, j, max_m)
+
+    def _match_cell(self, i: int, j: int, max_m: MatrixPtr):
+        """iterate_bwd_edges_for_match (viterbi_alignment.cpp:1353-1436):
+        pair order row-major (left edge outer), per pair order m, x, y."""
+        lb = self.left.bwd[i]
+        rb = self.right.bwd[j]
+        if not lb or not rb:
+            return
+        m = self.model
+        log_match_score = m.log_score[self.left.states[i],
+                                      self.right.states[j]]
+        m_log = 2.0 * m.log_non_gap() + log_match_score
+        x_log = self._log_gap_close_penalty(
+            self.left.edges.end[lb[0]], True) + m.log_non_gap() + log_match_score
+        y_log = self._log_gap_close_penalty(
+            self.right.edges.end[rb[0]], False) + m.log_non_gap() + log_match_score
+
+        m_p = x_p = y_p = 0.0
+        if self.s.compute_full_score:
+            match_p = m.score[self.left.states[i], self.right.states[j]]
+            m_p = m.non_gap() * m.non_gap() * match_p
+            x_p = m.gap_close() * m.non_gap() * match_p
+            y_p = m.gap_close() * m.non_gap() * match_p
+
+        for le in lb:
+            for re in rb:
+                self._score_match(0, le, re, m_log, max_m, m_p)
+                self._score_match(1, le, re, x_log, max_m, x_p)
+                self._score_match(2, le, re, y_log, max_m, y_p)
+
+    # -- end corner (viterbi_alignment.cpp:1440-1567) -----------------
+    def _end_corner(self) -> MatrixPtr:
+        # the corner is resolved on the stop sites: left site index
+        # i_max = sites_length-1 = L (viterbi_alignment.cpp:289-295)
+        lb = self.left.bwd[self.L]
+        rb = self.right.bwd[self.R]
+        mx = MatrixPtr()
+        if not lb or not rb:
+            return mx
+        m = self.model
+        m_log = m.log_non_gap()
+        m_p = m.non_gap()
+
+        def gap_close_left(le, mx):
+            self._score_gap_close(le, self.left, _ColView(self.X, self.R - 1),
+                                  mx, True)
+
+        def gap_close_right(re, mx):
+            z_row = self.Y[self.L - 1]
+            self._score_gap_close(re, self.right, z_row, mx, False)
+
+        le0, re0 = lb[0], rb[0]
+        self._score_match(0, le0, re0, m_log, mx, m_p)
+        best = mx.score
+        gap_close_left(le0, mx)
+        if first_is_bigger(mx.score, best):
+            best = mx.score
+            mx.y_ind = self.R - 1
+        gap_close_right(re0, mx)
+        if first_is_bigger(mx.score, best):
+            best = mx.score
+            mx.x_ind = self.L - 1
+
+        for re in rb[1:]:
+            self._score_match(0, le0, re, m_log, mx, m_p)
+            if first_is_bigger(mx.score, best):
+                best = mx.score
+            gap_close_right(re, mx)
+            if first_is_bigger(mx.score, best):
+                best = mx.score
+                mx.x_ind = self.L - 1
+
+        for le in lb[1:]:
+            self._score_match(0, le, re0, m_log, mx, m_p)
+            if first_is_bigger(mx.score, best):
+                best = mx.score
+            gap_close_left(le, mx)
+            if first_is_bigger(mx.score, best):
+                best = mx.score
+                mx.y_ind = self.R - 1
+            for re in rb[1:]:
+                self._score_match(0, le, re, m_log, mx, m_p)
+                if first_is_bigger(mx.score, best):
+                    best = mx.score
+                gap_close_right(re, mx)
+                if first_is_bigger(mx.score, best):
+                    best = mx.score
+                    mx.x_ind = self.L - 1
+        return mx
+
+    # -- public -------------------------------------------------------
+    def align(self):
+        """Fill + corner + backtrack. Returns (path, end_ptr)."""
+        # cache edge weights as float32-rounded logs (Edge stores both)
+        ew = self.left.edges.weight
+        self.left_logw = [float(np.float32(np.log(np.float64(w)))) for w in ew]
+        self.left_w = [float(w) for w in ew]
+        ew = self.right.edges.weight
+        self.right_logw = [float(np.float32(np.log(np.float64(w)))) for w in ew]
+        self.right_w = [float(w) for w in ew]
+
+        self.M[0][0].score = 0.0
+        self.M[0][0].fwd_score = 1.0
+
+        for j in range(self.R):
+            for i in range(self.L):
+                self.compute_fwd_scores(i, j)
+
+        end = self._end_corner()
+        end.bwd_score = 1.0
+        end.full_score = 1.0
+        path = self._backtrack(PathPtr(end, True))
+        return path, end
+
+    # -- backtrack (viterbi_alignment.cpp:1038-1189) ------------------
+    def _backtrack(self, fp: PathPtr):
+        stack: list[PathPtr] = []
+        left, right = self.left, self.right
+
+        vit_mat = fp.mp.matrix
+        x_ind = fp.mp.x_ind
+        y_ind = fp.mp.y_ind
+        first_x_site = True
+        first_y_site = True
+
+        if fp.mp.x_edge_ind >= 0:
+            left.edges.used[fp.mp.x_edge_ind] = True
+        if fp.mp.y_edge_ind >= 0:
+            right.edges.used[fp.mp.y_edge_ind] = True
+
+        j = self.R - 1
+        i = self.L - 1
+        max_i, max_j = i + 1, j + 1
+
+        ij = [i, j]
+
+        def insert_preexisting_gap(x_ind, y_ind):
+            while x_ind < ij[0]:
+                self._push_gap(stack, ij[0] - 1, ij[1], X_MAT,
+                               self.left_branch_length)
+                ij[0] -= 1
+            while y_ind < ij[1]:
+                self._push_gap(stack, ij[0], ij[1] - 1, Y_MAT,
+                               self.right_branch_length)
+                ij[1] -= 1
+
+        def insert_pp(pp):
+            if ij[0] > 0 or ij[1] > 0:
+                stack.append(pp)
+
+        insert_preexisting_gap(x_ind, y_ind)
+        insert_pp(fp)
+
+        while True:
+            i, j = ij
+            if vit_mat == M_MAT:
+                cell = self.M[i][j]
+                if first_x_site:
+                    e = left.find_fwd_edge(x_ind, max_i)
+                    if e >= 0:
+                        left.edges.used[e] = True
+                    first_x_site = False
+                if first_y_site:
+                    e = right.find_fwd_edge(y_ind, max_j)
+                    if e >= 0:
+                        right.edges.used[e] = True
+                    first_y_site = False
+                vit_mat = cell.matrix
+                x_ind = cell.x_ind
+                y_ind = cell.y_ind
+                left.edges.used[cell.x_edge_ind] = True
+                right.edges.used[cell.y_edge_ind] = True
+                pp = PathPtr(cell.copy(), True)
+                ij[0] -= 1
+                ij[1] -= 1
+                insert_preexisting_gap(x_ind, y_ind)
+                insert_pp(pp)
+            elif vit_mat == X_MAT:
+                cell = self.X[i][j]
+                if first_x_site:
+                    e = left.find_fwd_edge(x_ind, max_i)
+                    if e >= 0:
+                        left.edges.used[e] = True
+                    first_x_site = False
+                vit_mat = cell.matrix
+                x_ind = cell.x_ind
+                y_ind = cell.y_ind
+                left.edges.used[cell.x_edge_ind] = True
+                pp = PathPtr(cell.copy(), True)
+                ij[0] -= 1
+                insert_preexisting_gap(x_ind, y_ind)
+                insert_pp(pp)
+            elif vit_mat == Y_MAT:
+                cell = self.Y[i][j]
+                if first_y_site:
+                    e = right.find_fwd_edge(y_ind, max_j)
+                    if e >= 0:
+                        right.edges.used[e] = True
+                    first_y_site = False
+                vit_mat = cell.matrix
+                x_ind = cell.x_ind
+                y_ind = cell.y_ind
+                right.edges.used[cell.y_edge_ind] = True
+                pp = PathPtr(cell.copy(), True)
+                ij[1] -= 1
+                insert_preexisting_gap(x_ind, y_ind)
+                insert_pp(pp)
+            else:
+                raise RuntimeError(
+                    f"incorrect backward pointer {vit_mat} at {ij}")
+            if ij[0] < 1 and ij[1] < 1:
+                break
+
+        return stack[::-1]
+
+    def _push_gap(self, stack, i, j, matrix, branch_length):
+        mp = MatrixPtr(score=-1, x_ind=i, y_ind=j, matrix=matrix)
+        cell = (self.X if matrix == X_MAT else self.Y)[i][j]
+        mp.fwd_score = cell.fwd_score
+        mp.bwd_score = cell.bwd_score
+        mp.full_score = cell.full_score
+        stack.append(PathPtr(mp, False, branch_length, 1))

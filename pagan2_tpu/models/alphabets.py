@@ -277,5 +277,14 @@ def ancestral_symbols(name: str) -> list[str]:
                 out.append(PROTEIN_CHARS[i] if pi[i] > pi[j] else PROTEIN_CHARS[j])
         return out
     if name == CODON:
-        return CODONS + ["NNN"]
+        # the reference ships only the 62 singles (model_factory.cpp:1743-46,
+        # pair expansion commented out); we extend pair states with the
+        # higher-pi member so ancestral codon states always render
+        from .model_data import ecm_matrices
+        pi, _ = ecm_matrices()
+        out = CODONS + ["NNN"]
+        for i in range(60):
+            for j in range(i + 1, 61):
+                out.append(CODONS[i] if pi[i] > pi[j] else CODONS[j])
+        return out
     raise ValueError(name)
