@@ -18,8 +18,6 @@ def pairwise_strings(anc, left, right):
     (Node::get_alignment_column_at for a cherry, node.cpp:779-832)."""
     ls, rs = [], []
     for j in range(1, anc.num_sites() - 1):
-        if anc.site_type[j] == NON_REAL:
-            continue
         lj = anc.child_l[j]
         rj = anc.child_r[j]
         ls.append(left.symbols[lj] if lj >= 0 else left.gap_symbol)

@@ -1,0 +1,155 @@
+"""Tree-guided progressive alignment end-to-end (milestone B).
+
+Oracles: hand-checkable small families, alignment well-formedness
+(equal row lengths, ungapped content preserved), and engine equivalence
+(oracle vs jax produce identical MSAs)."""
+import numpy as np
+import pytest
+
+from pagan2_tpu.io.fasta import FastaEntry, read_fasta, write_fasta
+from pagan2_tpu.pipeline import align_progressive
+from pagan2_tpu.tree.newick import parse_newick, midpoint_root
+
+
+def make_entries(d):
+    return [FastaEntry(name=k, sequence=v) for k, v in d.items()]
+
+
+def check_msa(entries, originals):
+    lengths = {len(e.sequence) for e in entries}
+    assert len(lengths) == 1, "rows must be equal length"
+    by_name = {e.name: e for e in entries}
+    for name, seq in originals.items():
+        assert by_name[name].sequence.replace("-", "") == seq, name
+
+
+class TestNewick:
+    def test_parse_simple(self):
+        t = parse_newick("(a:0.1,b:0.2);")
+        assert [l.name for l in t.leaves()] == ["a", "b"]
+        assert t.left.dist == pytest.approx(0.1)
+
+    def test_parse_nested(self):
+        t = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+        assert [l.name for l in t.leaves()] == ["a", "b", "c"]
+        assert not t.is_leaf and not t.left.is_leaf
+
+    def test_multifurcation_binarized(self):
+        t = parse_newick("(a:0.1,b:0.1,c:0.1,d:0.1);")
+        for n in t.nodes_postorder():
+            assert len(n.children) in (0, 2)
+        assert sorted(l.name for l in t.leaves()) == list("abcd")
+
+    def test_branch_length_rules(self):
+        t = parse_newick("(a:0.5,b:0);")
+        t.apply_branch_length_rules()
+        assert t.left.dist == pytest.approx(0.2)   # truncated
+        assert t.right.dist == pytest.approx(0.001)  # min length
+
+    def test_roundtrip(self):
+        t = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+        t2 = parse_newick(t.to_newick())
+        assert [l.name for l in t2.leaves()] == ["a", "b", "c"]
+
+    def test_midpoint_root(self):
+        t = parse_newick("(a:1.0,b:0.2,c:0.2);")
+        r = midpoint_root(t)
+        for n in r.nodes_postorder():
+            assert len(n.children) in (0, 2)
+        assert sorted(l.name for l in r.leaves()) == ["a", "b", "c"]
+
+
+class TestProgressive:
+    def test_three_identical(self):
+        seqs = {"a": "ACGTACGT", "b": "ACGTACGT", "c": "ACGTACGT"}
+        res = align_progressive(make_entries(seqs),
+                                "((a:0.1,b:0.1):0.05,c:0.15);")
+        check_msa(res.alignment, seqs)
+        for e in res.alignment:
+            assert e.sequence == "ACGTACGT"
+
+    def test_three_with_deletion(self):
+        seqs = {"a": "ACGTTTACGT", "b": "ACGTTTACGT", "c": "ACGTACGT"}
+        res = align_progressive(make_entries(seqs),
+                                "((a:0.1,b:0.1):0.05,c:0.15);")
+        check_msa(res.alignment, seqs)
+        by = {e.name: e.sequence for e in res.alignment}
+        assert by["a"] == "ACGTTTACGT"
+        assert by["c"].count("-") == 2
+
+    def test_insertion_not_repenalised(self):
+        # the phylogeny-aware model: an insertion in one taxon opens a
+        # gap once, and deeper joins skip it without re-penalising
+        seqs = {"a": "ACGTACGT", "b": "ACGTACGT",
+                "c": "ACGTGGGACGT", "d": "ACGTACGT"}
+        res = align_progressive(
+            make_entries(seqs),
+            "(((a:0.1,b:0.1):0.05,c:0.1):0.05,d:0.15);")
+        check_msa(res.alignment, seqs)
+        by = {e.name: e.sequence for e in res.alignment}
+        assert by["c"].replace("-", "") == seqs["c"]
+        # a,b,d carry the gap column(s) for c's GGG insertion
+        assert by["a"].count("-") == 3
+        assert by["d"].count("-") == 3
+
+    def test_internal_nodes_included(self):
+        seqs = {"a": "ACGT", "b": "ACGT", "c": "ACGT"}
+        res = align_progressive(make_entries(seqs),
+                                "((a:0.1,b:0.1):0.05,c:0.15);",
+                                include_internal_nodes=True)
+        assert len(res.alignment) == 5
+        names = [e.name for e in res.alignment]
+        assert "#1#" in names and "#2#" in names
+
+    def test_engines_agree(self):
+        rng = np.random.default_rng(7)
+        base = "".join(rng.choice(list("ACGT"), size=40))
+
+        def mut(s):
+            out = []
+            for ch in s:
+                r = rng.random()
+                if r < 0.03:
+                    continue
+                if r < 0.06:
+                    out.append("ACGT"[rng.integers(4)])
+                out.append(ch if rng.random() > 0.08 else
+                           "ACGT"[rng.integers(4)])
+            return "".join(out)
+
+        seqs = {"a": mut(base), "b": mut(base), "c": mut(base),
+                "d": mut(base), "e": mut(base)}
+        tree = "(((a:0.1,b:0.12):0.04,(c:0.08,d:0.1):0.06):0.03,e:0.2);"
+        r1 = align_progressive(make_entries(seqs), tree, engine="oracle")
+        r2 = align_progressive(make_entries(seqs), tree, engine="jax")
+        for e1, e2 in zip(r1.alignment, r2.alignment):
+            assert e1.sequence == e2.sequence, e1.name
+
+    def test_ten_taxa_smoke(self):
+        rng = np.random.default_rng(11)
+        base = "".join(rng.choice(list("ACGT"), size=60))
+        names = [f"t{i}" for i in range(10)]
+        seqs = {}
+        for n in names:
+            s = list(base)
+            for _ in range(6):
+                p = rng.integers(len(s))
+                s[p] = "ACGT"[rng.integers(4)]
+            seqs[n] = "".join(s)
+        # caterpillar tree
+        tree = "t0:0.1"
+        for n in names[1:]:
+            tree = f"({tree},{n}:0.1):0.05"
+        tree += ";"
+        res = align_progressive(make_entries(seqs), tree)
+        check_msa(res.alignment, seqs)
+
+
+class TestFastaIO:
+    def test_roundtrip(self, tmp_path):
+        entries = make_entries({"s1": "ACGT", "s2": "GGTT"})
+        p = tmp_path / "x.fas"
+        write_fasta(entries, p)
+        back = read_fasta(p)
+        assert [(e.name, e.sequence) for e in back] == \
+            [("s1", "ACGT"), ("s2", "GGTT")]
