@@ -1,0 +1,264 @@
+"""Reference-free pileup alignment (--pileup), with 454/homopolymer error
+modelling, overlap/identity acceptance, and consensus calling.
+
+Equivalent of Reads_aligner::pileup_alignment
+(src/main/reads_aligner.cpp:151-264) + read_alignment_scores
+(:3323-3466) + Node::add_root_consensus (node.cpp:716-775).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..graph.builders import build_leaf_graph, revcomp
+from ..io.fasta import FastaEntry, clean_sequence
+from ..models import ModelFactory, alphabets as alph
+from ..align import align_pair, AlignSettings
+from ..tree.newick import TreeNode
+
+
+@dataclass
+class PileupConfig:
+    mode454: bool = False
+    homopolymer: bool = False
+    both_strands: bool = False
+    min_query_overlap: float = 0.5    # --min-query-overlap
+    min_query_identity: float = 0.5   # --min-query-identity
+    query_cluster_attempts: int = 1   # --query-cluster-attempts
+    query_distance: float = 0.1       # --query-distance
+    use_consensus: bool = False
+    consensus_minimum: int = 5
+    consensus_minimum_proportion: float = 0.5
+    overlap_with_any: bool = False
+    engine: str = "auto"
+
+
+@dataclass
+class PileupResult:
+    root: TreeNode
+    alignment: list[FastaEntry]
+    consensus: str | None = None
+    discarded: list[str] = field(default_factory=list)
+
+
+def _has_site_and_state(node: TreeNode, j: int, name: str):
+    """has_site_at_alignment_column / get_state_at_alignment_column:
+    descend child indices from the root column to the named node."""
+    g = node.graph
+    if node.is_leaf:
+        if node.name == name:
+            return True, g.states[j]
+        return False, -2
+    lj = g.child_l[j]
+    rj = g.child_r[j]
+    if lj >= 0:
+        found, st = _has_site_and_state(node.left, lj, name)
+        if found:
+            return True, st
+    if rj >= 0:
+        found, st = _has_site_and_state(node.right, rj, name)
+        if found:
+            return True, st
+    return False, -2
+
+
+def _any_other_has_site(node: TreeNode, j: int, name: str) -> bool:
+    g = node.graph
+    if node.is_leaf:
+        return node.name != name
+    lj = g.child_l[j]
+    rj = g.child_r[j]
+    if lj >= 0 and _any_other_has_site(node.left, lj, name):
+        return True
+    if rj >= 0 and _any_other_has_site(node.right, rj, name):
+        return True
+    return False
+
+
+def read_alignment_scores(node: TreeNode, read_name: str,
+                          ref_node_name: str, overlap_with_any=False):
+    """(reads_aligner.cpp:3323-3466, DNA-as-protein path omitted)."""
+    g = node.graph
+    aligned = 0
+    read_length = 0
+    matched = 0
+    for j in range(1, g.num_sites()):
+        read_has, state_read = _has_site_and_state(node, j, read_name)
+        if overlap_with_any:
+            other_has = _any_other_has_site(node, j, read_name)
+            ref_has, state_ref = _has_site_and_state(node, j, ref_node_name)
+            pair = read_has and other_has
+        else:
+            ref_has, state_ref = _has_site_and_state(node, j, ref_node_name)
+            pair = read_has and ref_has
+        if pair:
+            if state_read >= 0 and state_read == state_ref:
+                matched += 1
+            aligned += 1
+        if read_has:
+            read_length += 1
+    overlap = aligned / read_length if read_length else 0.0
+    identity = matched / aligned if aligned else 0.0
+    return overlap, identity
+
+
+def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
+                 config: PileupConfig | None = None,
+                 model_factory: ModelFactory | None = None) -> PileupResult:
+    config = config or PileupConfig()
+    if data_type is None:
+        from ..io.fasta import guess_data_type
+        data_type = guess_data_type(reads)
+
+    if model_factory is None:
+        pileup_454 = config.mode454 or config.homopolymer
+        if data_type == alph.DNA:
+            from ..io.fasta import empirical_dna_frequencies
+            model_factory = ModelFactory(
+                alph.DNA, dna_pi=empirical_dna_frequencies(reads),
+                pileup_454=pileup_454)
+        else:
+            model_factory = ModelFactory(data_type)
+
+    settings = AlignSettings().for_reads()
+    gkw = dict(mode454=config.mode454, homopolymer=config.homopolymer)
+
+    def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
+        seq = clean_sequence(read.sequence, data_type)
+        n = TreeNode(name=read.name, dist=config.query_distance)
+        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=turn_rc,
+                                   **gkw)
+        n.graph.is_read_sequence = True
+        n.graph.num_duplicates = read.num_duplicates
+        return n
+
+    ref_root_name = reads[0].name
+    global_root = leaf(reads[0])
+    global_root.dist = 0.001
+
+    count = 2
+    attempts = {r.name: 0 for r in reads}
+    accepted = {ref_root_name}
+    model = model_factory.alignment_model(0.001 + config.query_distance)
+
+    for _round in range(config.query_cluster_attempts):
+        for read in reads[1:]:
+            if attempts[read.name] >= config.query_cluster_attempts:
+                continue
+            attempts[read.name] += 1
+
+            def try_strand(rc):
+                rnode = leaf(read, turn_rc=rc)
+                temp = TreeNode(name=f"#{count}#", children=[global_root,
+                                                             rnode])
+                temp.left.dist = 0.001
+                anc, _ = align_pair(global_root.graph, rnode.graph, model,
+                                    settings,
+                                    left_branch_length=0.001,
+                                    right_branch_length=config.query_distance,
+                                    is_reads_sequence=True,
+                                    engine=config.engine,
+                                    compute_consensus=config.use_consensus)
+                anc.is_read_sequence = True
+                anc.has_read_descendants = True
+                temp.graph = anc
+                ov, ident = read_alignment_scores(
+                    temp, read.name, ref_root_name,
+                    overlap_with_any=config.overlap_with_any)
+                return temp, ov, ident
+
+            node, ov, ident = try_strand(False)
+            ov_rc, ident_rc = -1.0, -1.0
+            node_rc = None
+            if config.both_strands and data_type == alph.DNA:
+                node_rc, ov_rc, ident_rc = try_strand(True)
+
+            if ov > ov_rc and ov > config.min_query_overlap and \
+                    ident > config.min_query_identity:
+                global_root = node
+                count += 1
+                accepted.add(read.name)
+                attempts[read.name] = config.query_cluster_attempts
+            elif ov_rc > config.min_query_overlap and \
+                    ident_rc > config.min_query_identity:
+                global_root = node_rc
+                count += 1
+                accepted.add(read.name)
+                attempts[read.name] = config.query_cluster_attempts
+            else:
+                # rejection costs an extra attempt (reads_aligner.cpp:251)
+                attempts[read.name] += 1
+
+    discarded = [r.name for r in reads[1:] if r.name not in accepted]
+    alignment = _extract(global_root)
+    consensus = None
+    if config.use_consensus:
+        consensus = call_consensus(global_root, config)
+        alignment.append(FastaEntry(name="consensus", sequence=consensus))
+    return PileupResult(root=global_root, alignment=alignment,
+                        consensus=consensus, discarded=discarded)
+
+
+def _extract(root: TreeNode) -> list[FastaEntry]:
+    from .progressive import extract_alignment
+    if root.is_leaf:
+        g = root.graph
+        return [FastaEntry(name=root.name,
+                           sequence="".join(g.symbols[1:g.num_sites() - 1]))]
+    return extract_alignment(root, include_internal_nodes=False,
+                             data_type=root.graph.data_type)
+
+
+def call_consensus(root: TreeNode, config: PileupConfig) -> str:
+    """add_root_consensus (node.cpp:716-775): IUPAC majority calling from
+    pileup counts with a minimum-count threshold."""
+    g = root.graph
+    n_leaves = root.num_leaves()
+    min_num = int(n_leaves * config.consensus_minimum_proportion)
+    if min_num < config.consensus_minimum:
+        min_num = config.consensus_minimum
+
+    out = []
+    for j in range(1, g.num_sites() - 1):
+        sA, sC = g.sumA[j], g.sumC[j]
+        sG, sT = g.sumG[j], g.sumT[j]
+        if sA + sC + sG + sT < min_num:
+            out.append("-")
+            continue
+        c = _iupac_majority(sA, sC, sG, sT)
+        out.append(c)
+    return "".join(out)
+
+
+def _iupac_majority(sA, sC, sG, sT):
+    """The exact comparison ladder of node.cpp:742-772."""
+    if sA > sC and sA > sG and sA > sT:
+        return "A"
+    if sC > sA and sC > sG and sC > sT:
+        return "C"
+    if sG > sA and sG > sC and sG > sT:
+        return "G"
+    if sT > sA and sT > sC and sT > sG:
+        return "T"
+    if sA > sC and sA == sG and sA > sT:
+        return "R"
+    if sC > sA and sC > sG and sC == sT:
+        return "Y"
+    if sA == sC and sA > sG and sA > sT:
+        return "M"
+    if sG > sA and sG > sC and sG == sT:
+        return "K"
+    if sA > sC and sA > sG and sA == sT:
+        return "W"
+    if sC > sA and sC == sG and sC > sT:
+        return "S"
+    if sC > sA and sC == sG and sC == sT:
+        return "B"
+    if sA > sC and sA == sG and sA == sT:
+        return "D"
+    if sA == sC and sA > sG and sA == sT:
+        return "H"
+    if sA == sC and sA == sG and sA > sT:
+        return "V"
+    if sA == sC and sA == sG and sA == sT:
+        return "N"
+    return "N"

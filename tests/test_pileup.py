@@ -1,0 +1,99 @@
+"""Reference-free pileup mode (milestone C shape).
+
+Oracles: overlapping reads from a known template must stack into an MSA
+whose ungapped rows equal the reads; consensus must reconstruct the
+template where coverage suffices; non-matching junk reads are discarded.
+"""
+import numpy as np
+import pytest
+
+from pagan2_tpu.io.fasta import FastaEntry
+from pagan2_tpu.pipeline.pileup import (pileup_align, PileupConfig,
+                                        read_alignment_scores)
+
+
+TEMPLATE = "ACGGTTACGATCGATTGGCACGTAGCTAGCTTAGGCCATAACGT"
+
+
+def reads_from_template(rng, n, length=20, step=6, err=0.0):
+    reads = []
+    for i in range(n):
+        start = (i * step) % max(1, len(TEMPLATE) - length)
+        s = list(TEMPLATE[start:start + length])
+        for k in range(len(s)):
+            if rng.random() < err:
+                s[k] = "ACGT"[rng.integers(4)]
+        reads.append(FastaEntry(name=f"r{i}", sequence="".join(s)))
+    return reads
+
+
+class TestPileup:
+    def test_identical_reads(self):
+        reads = [FastaEntry(name=f"r{i}", sequence="ACGTTGCA")
+                 for i in range(4)]
+        res = pileup_align(reads)
+        assert len(res.alignment) == 4
+        for e in res.alignment:
+            assert e.sequence == "ACGTTGCA"
+        assert res.discarded == []
+
+    def test_overlapping_reads(self):
+        rng = np.random.default_rng(3)
+        reads = reads_from_template(rng, 5)
+        res = pileup_align(reads)
+        by = {e.name: e.sequence for e in res.alignment}
+        lengths = {len(s) for s in by.values()}
+        assert len(lengths) == 1
+        for r in reads:
+            if r.name in by:
+                assert by[r.name].replace("-", "") == r.sequence
+
+    def test_junk_read_discarded(self):
+        reads = [FastaEntry(name="r0", sequence="ACGTTGCAACGTACGT"),
+                 FastaEntry(name="r1", sequence="ACGTTGCAACGTACGT"),
+                 FastaEntry(name="junk", sequence="TTTTCCCCTTTTCCCC")]
+        res = pileup_align(reads)
+        assert "junk" in res.discarded
+        names = {e.name for e in res.alignment}
+        assert "junk" not in names
+
+    def test_reverse_strand(self):
+        from pagan2_tpu.graph import revcomp
+        reads = [FastaEntry(name="r0", sequence="ACGGTTACGATCGATTGGCA"),
+                 FastaEntry(name="r1",
+                            sequence=revcomp("ACGGTTACGATCGATTGGCA"))]
+        res = pileup_align(reads, config=PileupConfig(both_strands=True))
+        assert res.discarded == []
+        by = {e.name: e.sequence for e in res.alignment}
+        # r1 was flipped back to the forward strand before stacking
+        assert by["r1"] == by["r0"]
+
+    def test_consensus(self):
+        reads = [FastaEntry(name=f"r{i}", sequence=TEMPLATE)
+                 for i in range(6)]
+        res = pileup_align(
+            reads, config=PileupConfig(use_consensus=True,
+                                       consensus_minimum=3))
+        assert res.consensus == TEMPLATE
+
+    def test_consensus_majority(self):
+        # 5 reads agree, 1 disagrees at one base -> majority wins
+        reads = [FastaEntry(name=f"r{i}", sequence=TEMPLATE)
+                 for i in range(5)]
+        mutated = TEMPLATE[:10] + "G" + TEMPLATE[11:]
+        assert TEMPLATE[10] != "G"
+        reads.append(FastaEntry(name="odd", sequence=mutated))
+        res = pileup_align(
+            reads, config=PileupConfig(use_consensus=True,
+                                       consensus_minimum=3))
+        assert res.consensus == TEMPLATE
+
+    def test_homopolymer_pileup(self):
+        # 454-style reads disagreeing on homopolymer run length still stack
+        reads = [FastaEntry(name="r0", sequence="ACGGGGTACGTACGT"),
+                 FastaEntry(name="r1", sequence="ACGGGTACGTACGT"),
+                 FastaEntry(name="r2", sequence="ACGGGGGTACGTACGT")]
+        res = pileup_align(reads, config=PileupConfig(homopolymer=True))
+        assert res.discarded == []
+        lengths = {len(e.sequence) for e in res.alignment}
+        assert len(lengths) == 1
