@@ -35,15 +35,20 @@ _FROM_M, _FROM_X, _FROM_Y = 0, 1, 2
 
 
 # ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("L", "R", "KL", "KR"))
-def _wavefront_fill(L, R, KL, KR, lprev, llogw, lmask, rprev, rlogw, rmask,
-                    mscore, gext_j, gext_i, open_pen_l, open_pen_r,
-                    close_pen_x, close_pen_y, lng, lgo):
-    """Fill the (L, R) DP planes by anti-diagonal scan.
+def wavefront_core(lprev, llogw, lmask, rprev, rlogw, rmask,
+                   mscore, gext_j, gext_i, open_pen_l, open_pen_r,
+                   close_pen_x, close_pen_y, lng, lgo):
+    """Fill the (L, R) DP planes by anti-diagonal scan. Shapes come from
+    the arrays, so this traces once per padded bucket and vmaps over a
+    batch of independent jobs (per-job true lengths are encoded in the
+    edge masks / penalty vectors).
 
-    Returns score planes M, X, Y (f64) and backpointer planes
+    Returns score planes M, X, Y and backpointer planes
     bpX, bpY (int32: k*3+move, -1 if none), bpM (int32: (kl*KR+kr)*3+move).
     """
+    L, R = mscore.shape
+    KL = lprev.shape[1]
+    KR = rprev.shape[1]
     f = mscore.dtype
     big_neg = jnp.array(NEG, f)
 
@@ -137,6 +142,12 @@ def _wavefront_fill(L, R, KL, KR, lprev, llogw, lmask, rprev, rlogw, rmask,
     carry, _ = lax.scan(step, (M0, X0, Y0, bpX0, bpY0, bpM0),
                         jnp.arange(1, L + R - 1))
     return carry
+
+
+_wavefront_fill_jit = jax.jit(wavefront_core)
+# batch of independent jobs (one generation of tree nodes / one bucket of
+# pileup reads); every argument including the model scalars is per-job
+batched_wavefront_fill = jax.jit(jax.vmap(wavefront_core))
 
 
 # ----------------------------------------------------------------------
@@ -434,11 +445,10 @@ def jax_align_path(left: SequenceGraph, right: SequenceGraph,
         raise ImportError("jax path: pair-end/full-probability pending")
 
     inp = _prepare(left, right, model, settings, dtype)
-    planes = _wavefront_fill(
-        inp["L"], inp["R"], inp["KL"], inp["KR"],
-        jnp.asarray(inp["lprev"]), jnp.asarray(inp["llogw"]),
-        jnp.asarray(inp["lmask"]), jnp.asarray(inp["rprev"]),
-        jnp.asarray(inp["rlogw"]), jnp.asarray(inp["rmask"]),
+    planes = _wavefront_fill_jit(
+        jnp.asarray(inp["lprev"][:inp["L"]]), jnp.asarray(inp["llogw"][:inp["L"]]),
+        jnp.asarray(inp["lmask"][:inp["L"]]), jnp.asarray(inp["rprev"][:inp["R"]]),
+        jnp.asarray(inp["rlogw"][:inp["R"]]), jnp.asarray(inp["rmask"][:inp["R"]]),
         jnp.asarray(inp["mscore"]), jnp.asarray(inp["gext_j"]),
         jnp.asarray(inp["gext_i"]), jnp.asarray(inp["open_pen_l"]),
         jnp.asarray(inp["open_pen_r"]), jnp.asarray(inp["close_pen_x"]),
