@@ -18,15 +18,15 @@ def main():
     from pagan2_tpu.graph import build_leaf_graph
     from pagan2_tpu.models import ModelFactory, alphabets as alph
     from pagan2_tpu.align import AlignSettings
-    from pagan2_tpu.parallel import prepare_job, pad_and_stack
-    from pagan2_tpu.align.viterbi_jax import batched_wavefront_fill
+    from pagan2_tpu.align.viterbi_sheared import (prepare_sheared,
+                                                  shear_device_inputs,
+                                                  batched_sheared_fill)
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    # problem size: batch of pairs, sized to finish quickly but amortize
-    # dispatch. TPU: 8 x 2048^2; CPU smoke: 2 x 256^2.
+    # batch of chain-graph pairs through the sheared fast kernel
     if on_tpu:
-        B, N = 4, 2048
+        B, N = 4, 4096
     else:
         B, N = 2, 256
 
@@ -35,7 +35,9 @@ def main():
     model = mf.alignment_model(0.2)
     settings = AlignSettings()
 
-    jobs = []
+    stacked = None
+    cells = 0
+    per_job = []
     for b in range(B):
         base = rng.choice(list("ACGT"), size=N)
         s1 = "".join(base)
@@ -45,26 +47,22 @@ def main():
         s2 = "".join(mut)
         g1 = build_leaf_graph(s1, alph.DNA)
         g2 = build_leaf_graph(s2, alph.DNA)
-        jobs.append(prepare_job(g1, g2, model, settings, dtype=np.float32))
-
-    batch = pad_and_stack(jobs)
-    arrs = batch.arrays
-    from pagan2_tpu.parallel.jobs import _FIELDS
-    args = [jnp.asarray(arrs[f]) for f in _FIELDS] + \
-        [jnp.asarray(arrs["lng"]), jnp.asarray(arrs["lgo"])]
+        inp = prepare_sheared(g1, g2, model, settings, dtype=np.float32)
+        per_job.append(shear_device_inputs(inp, Lp=N + 1, Rp=N + 1))
+        cells += inp["L"] * inp["R"]
+    args = [jnp.stack([j[k] for j in per_job]) for k in range(len(per_job[0]))]
 
     # warmup/compile
-    out = batched_wavefront_fill(*args)
+    out = batched_sheared_fill(*args)
     jax.block_until_ready(out)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = batched_wavefront_fill(*args)
+        out = batched_sheared_fill(*args)
         jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
-    cells = sum(L * R for L, R in zip(batch.true_L, batch.true_R))
     gcups = cells / dt / 1e9
     print(json.dumps({
         "metric": "DP fill rate, pairwise phylo-aware graph alignment "

@@ -20,8 +20,17 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
     end = None
     if engine in ("jax", "auto"):
         try:
-            from .viterbi_jax import jax_align_path
-            path, end = jax_align_path(left, right, model, settings)
+            ok = not (settings.pair_end_reads or settings.compute_full_score)
+            from .viterbi_sheared import is_linear_chain, sheared_align_path
+            if ok and is_linear_chain(left) and is_linear_chain(right):
+                path, end = sheared_align_path(
+                    left, right, model, settings,
+                    left_branch_length, right_branch_length)
+            else:
+                from .viterbi_jax import jax_align_path
+                path, end = jax_align_path(left, right, model, settings,
+                                           left_branch_length,
+                                           right_branch_length)
         except ImportError:
             if engine == "jax":
                 raise

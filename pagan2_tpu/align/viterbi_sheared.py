@@ -1,0 +1,366 @@
+"""Sheared (diagonal-major) wavefront DP for linear-chain graphs.
+
+When both input graphs are plain chains (every site has exactly one
+back-edge to its predecessor — true for all leaf sequences outside
+454/homopolymer mode and for most ancestors), the graph DP collapses to
+a classic 3-state affine recurrence. This kernel stores diagonals as
+vectors ("shearing" the DP plane) so one `lax.scan` step updates a whole
+anti-diagonal with pure element-wise VPU ops — no gathers in the loop.
+Backpointers pack into one int8 per cell (2 bits per matrix).
+
+Candidate evaluation order matches the reference exactly
+(viterbi_alignment.cpp:1328-1436: gap = ext, double, open; match =
+m, x, y; strict-greater first-wins), so tracebacks are identical to the
+host oracle for chain inputs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..graph.sequence_graph import SequenceGraph
+from ..models.evol_model import EvolModel
+from .settings import AlignSettings, X_MAT, Y_MAT, M_MAT
+from .oracle import MatrixPtr, PathPtr, first_is_bigger
+
+NEG = -np.inf
+_NONE = 3  # "no backpointer" 2-bit code
+
+
+def is_linear_chain(g: SequenceGraph) -> bool:
+    """Fast-path eligibility: every site 1..N-1 has exactly one bwd edge,
+    from its immediate predecessor."""
+    for i in range(1, g.num_sites()):
+        b = g.bwd[i]
+        if len(b) != 1 or g.edges.start[b[0]] != i - 1:
+            return False
+    return True
+
+
+# ----------------------------------------------------------------------
+def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
+                 lng, lgo, Ldp, Rdp):
+    """One pair's fill in sheared layout.
+
+    ms_sh is (D, Lp), rows = anti-diagonals of the match-score table.
+    gj_rext/orp_rext/rw_rext are the column-indexed vectors (gap-ext by
+    j, open penalty by j-1, right edge log-weight by j) pre-REVERSED and
+    zero-padded to length 2*Lp+Rp-1, so the diagonal-d row is one
+    dynamic_slice (no per-step flip, HBM stays O(D) not O(D*L)).
+    gext_i/open_l/lw are (Lp,) per-row vectors; Ldp/Rdp are the true DP
+    dims (traced scalars). Returns (bp (D, Lp) int8, final (3,) scores of
+    the corner cell).
+    """
+    D, Lp = ms_sh.shape
+    Rp = gj_rext.shape[0] - 2 * Lp + 1
+    f = ms_sh.dtype
+    big_neg = jnp.array(NEG, f)
+
+    ii = jnp.arange(Lp)
+
+    M1 = jnp.full((Lp,), big_neg, f).at[0].set(0.0)
+    X1 = jnp.full((Lp,), big_neg, f)
+    Y1 = jnp.full((Lp,), big_neg, f)
+    M2 = jnp.full((Lp,), big_neg, f)
+    X2 = jnp.full((Lp,), big_neg, f)
+    Y2 = jnp.full((Lp,), big_neg, f)
+    final = jnp.full((3,), big_neg, f)
+
+    def shift(v):
+        # element i <- element i-1 (predecessor row on previous diagonal)
+        return jnp.concatenate([jnp.full((1,), big_neg, f), v[:-1]])
+
+    def step(carry, xs):
+        M1, X1, Y1, M2, X2, Y2, final = carry
+        d, ms = xs
+        # row[i] = vec[d-i] == rvec_ext[Lp+Rp-2-d+i]
+        start = Lp + Rp - 2 - d
+        gj = lax.dynamic_slice(gj_rext, (start,), (Lp,))
+        orp = lax.dynamic_slice(orp_rext, (start,), (Lp,))
+        rw = lax.dynamic_slice(rw_rext, (start,), (Lp,))
+        jjj = d - ii
+        valid = (jjj >= 0) & (jjj < Rdp) & (ii < Ldp)
+
+        M1s, X1s, Y1s = shift(M1), shift(X1), shift(Y1)
+        M2s, X2s, Y2s = shift(M2), shift(X2), shift(Y2)
+
+        # X: gap consuming left site i (candidates: ext, double, open)
+        open_l_prev = jnp.concatenate([jnp.zeros((1,), f), open_l[:-1]])
+        cx = jnp.stack([X1s + gj, Y1s + lgo, M1s + lng + open_l_prev])
+        bpx = jnp.argmax(cx, axis=0).astype(jnp.int32)
+        vx = jnp.max(cx, axis=0)
+        okx = valid & (ii > 0) & jnp.isfinite(vx)
+        X = jnp.where(okx, vx, big_neg)
+        bpx = jnp.where(okx, bpx, _NONE)
+
+        # Y: gap consuming right site j (ext, double, open)
+        cy = jnp.stack([Y1 + gext_i, X1 + lgo, M1 + lng + orp])
+        bpy = jnp.argmax(cy, axis=0).astype(jnp.int32)
+        vy = jnp.max(cy, axis=0)
+        oky = valid & (jjj > 0) & jnp.isfinite(vy)
+        Y = jnp.where(oky, vy, big_neg)
+        bpy = jnp.where(oky, bpy, _NONE)
+
+        # M: match consuming both (m, x, y)
+        wadd = lng + ms + lw + rw
+        cm = jnp.stack([M2s + lng + wadd, X2s + wadd, Y2s + wadd])
+        bpm = jnp.argmax(cm, axis=0).astype(jnp.int32)
+        vm = jnp.max(cm, axis=0)
+        okm = valid & (ii > 0) & (jjj > 0) & jnp.isfinite(vm)
+        M = jnp.where(okm, vm, big_neg)
+        bpm = jnp.where(okm, bpm, _NONE)
+
+        # keep the (0,0) corner alive on diagonal 0's successor reads
+        M = M.at[0].set(jnp.where(d == 0, 0.0, M[0]))
+
+        bp = (bpm | (bpx << 2) | (bpy << 4)).astype(jnp.int8)
+
+        at_corner = d == (Ldp + Rdp - 2)
+        corner_i = Ldp - 1
+        cap = jnp.stack([jnp.take(M, corner_i), jnp.take(X, corner_i),
+                         jnp.take(Y, corner_i)])
+        final = jnp.where(at_corner, cap, final)
+
+        return (M, X, Y, M1, X1, Y1, final), bp
+
+    ds = jnp.arange(1, D)
+    carry, bps = lax.scan(
+        step, (M1, X1, Y1, M2, X2, Y2, final),
+        (ds, ms_sh[1:]))
+    final = carry[-1]
+    # prepend the d=0 row (no backpointers)
+    bp0 = jnp.full((1, Lp), _NONE | (_NONE << 2) | (_NONE << 4), jnp.int8)
+    bps = jnp.concatenate([bp0, bps], axis=0)
+    return bps, final
+
+
+sheared_fill = jax.jit(sheared_core)
+batched_sheared_fill = jax.jit(jax.vmap(sheared_core))
+
+
+# ----------------------------------------------------------------------
+def _shear(vals_2d, D):
+    """(L, R) row-major -> (D, L) diagonal-major: out[i+j, i] = in[i, j]."""
+    L, R = vals_2d.shape
+    ext = jnp.concatenate(
+        [vals_2d, jnp.zeros((L, 1), vals_2d.dtype)], axis=1)
+    d_idx = jnp.arange(D)[None, :] - jnp.arange(L)[:, None]  # (L, D) = j
+    idx = jnp.clip(d_idx, 0, R)
+    return jnp.take_along_axis(ext, idx, axis=1).T  # (D, L)
+
+
+def _shear_vec(vec, D, L):
+    """(R,) -> (D, L): out[d, i] = vec[d-i] (clamped; callers mask)."""
+    ext = jnp.concatenate([vec, jnp.zeros((1,), vec.dtype)])
+    d_idx = jnp.arange(D)[None, :] - jnp.arange(L)[:, None]
+    idx = jnp.clip(d_idx, 0, vec.shape[0])
+    return ext[idx].T
+
+
+def prepare_sheared(left: SequenceGraph, right: SequenceGraph,
+                    model: EvolModel, settings: AlignSettings,
+                    dtype=np.float64):
+    """Host-side input prep for the sheared kernel."""
+    L = left.num_sites() - 1
+    R = right.num_sites() - 1
+    D = L + R - 1
+
+    lstates = np.asarray(left.states[:L], dtype=np.int32)
+    rstates = np.asarray(right.states[:R], dtype=np.int32)
+    ms = model.log_score[np.ix_(lstates, rstates)].astype(dtype)
+
+    m = model
+    gext = m.log_gap_ext()
+    gend = gext if settings.no_terminal_edges else m.log_gap_end_ext()
+    gext_j = np.full(R, gext, dtype)
+    gext_j[0] = gend
+    gext_j[R - 1] = gend
+    gext_i = np.full(L, gext, dtype)
+    gext_i[0] = gend
+    gext_i[L - 1] = gend
+
+    lgo = dtype(m.log_gap_open())
+    open_l = np.full(L, lgo, dtype)   # open_l[p] for predecessor row p
+    open_r = np.full(R, lgo, dtype)
+    if settings.reduced_terminal_gap_penalties:
+        open_l[0] = 0.0
+        open_r[0] = 0.0
+
+    def edge_logw(g, i):
+        w = float(g.edges.weight[g.bwd[i][0]])
+        return float(np.float32(np.log(w))) if w > 0 else NEG
+
+    lw = np.zeros(L, dtype)
+    for i in range(1, L):
+        lw[i] = edge_logw(left, i)
+    rw = np.zeros(R, dtype)
+    for j in range(1, R):
+        rw[j] = edge_logw(right, j)
+
+    # open_pen_r sheared at index j-1: orp_sh[d, i] = open_r[d-i-1]
+    open_r_shifted = np.concatenate([[0.0], open_r[:-1]]).astype(dtype)
+
+    return dict(
+        L=L, R=R, D=D,
+        ms=ms, gext_j=gext_j, gext_i=gext_i,
+        open_l=open_l, open_r_shifted=open_r_shifted,
+        lw=lw, rw=rw,
+        lng=dtype(m.log_non_gap()), lgo=lgo,
+    )
+
+
+def _rext(vec_np, R, Rp, Lp, dtype):
+    """Pad a column-indexed vector to Rp, reverse, and zero-extend so the
+    kernel can slice diagonal rows: ext[Lp+Rp-2-d+i] == vec[d-i]."""
+    v = np.zeros(Rp, dtype)
+    v[:R] = vec_np
+    return jnp.asarray(np.concatenate(
+        [np.zeros(Lp - 1, dtype), v[::-1], np.zeros(Lp, dtype)]))
+
+
+def shear_device_inputs(inp, Lp=None, Rp=None):
+    """Build sheared device arrays (optionally padded to Lp/Rp buckets)."""
+    L, R = inp["L"], inp["R"]
+    Lp = Lp or L
+    Rp = Rp or R
+    D = Lp + Rp - 1
+    dtype = inp["ms"].dtype
+
+    ms = jnp.zeros((Lp, Rp), dtype).at[:L, :R].set(inp["ms"])
+    ms_sh = _shear(ms, D)
+    gj_rext = _rext(inp["gext_j"], R, Rp, Lp, dtype)
+    orp_rext = _rext(inp["open_r_shifted"], R, Rp, Lp, dtype)
+    rw_rext = _rext(inp["rw"], R, Rp, Lp, dtype)
+    gext_i = jnp.zeros((Lp,), dtype).at[:L].set(inp["gext_i"])
+    open_l = jnp.zeros((Lp,), dtype).at[:L].set(inp["open_l"])
+    lw = jnp.zeros((Lp,), dtype).at[:L].set(inp["lw"])
+    return (ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
+            dtype.type(inp["lng"]), dtype.type(inp["lgo"]),
+            jnp.int32(L), jnp.int32(R))
+
+
+# ----------------------------------------------------------------------
+class _ShearedCells:
+    """Oracle-style cell accessor over the packed bp planes."""
+
+    def __init__(self, bp, left, right):
+        self.bp = np.asarray(bp)
+        self.left = left
+        self.right = right
+
+    def cell(self, which, i, j) -> MatrixPtr:
+        code = int(self.bp[i + j, i])
+        mp = MatrixPtr()
+        if which == M_MAT:
+            mv = code & 3
+            if mv == _NONE:
+                return mp
+            mp.matrix = (M_MAT, X_MAT, Y_MAT)[mv]
+            mp.x_ind = i - 1
+            mp.y_ind = j - 1
+            mp.x_edge_ind = self.left.bwd[i][0]
+            mp.y_edge_ind = self.right.bwd[j][0]
+        elif which == X_MAT:
+            mv = (code >> 2) & 3
+            if mv == _NONE:
+                mp.y_ind = j
+                return mp
+            mp.matrix = (X_MAT, Y_MAT, M_MAT)[mv]
+            mp.x_ind = i - 1
+            mp.y_ind = j
+            mp.x_edge_ind = self.left.bwd[i][0]
+        else:
+            mv = (code >> 4) & 3
+            if mv == _NONE:
+                mp.x_ind = i
+                return mp
+            mp.matrix = (Y_MAT, X_MAT, M_MAT)[mv]
+            mp.x_ind = i
+            mp.y_ind = j - 1
+            mp.y_edge_ind = self.right.bwd[j][0]
+        return mp
+
+
+def _end_corner_linear(final, left, right, model, L, R):
+    """End-corner resolution for chain graphs: the stop sites have one
+    bwd edge each, so only the corner cell's three values matter
+    (viterbi_alignment.cpp:1440-1567 collapses to three candidates)."""
+    mx = MatrixPtr()
+    le = left.bwd[L][0]
+    re = right.bwd[R][0]
+
+    def logw(g, e):
+        w = float(g.edges.weight[e])
+        return float(np.float32(np.log(w))) if w > 0 else NEG
+
+    mM, mX, mY = [float(v) for v in final]
+    # m_match
+    sc = mM + model.log_non_gap() + logw(left, le) + logw(right, re)
+    if first_is_bigger(sc, mx.score):
+        mx.score = sc
+        mx.x_ind = L - 1
+        mx.y_ind = R - 1
+        mx.x_edge_ind = le
+        mx.y_edge_ind = re
+        mx.matrix = M_MAT
+    best = mx.score
+    # x gap close
+    sc = mX + 0.0
+    if first_is_bigger(sc, mx.score):
+        mx.score = sc
+        mx.matrix = X_MAT
+        mx.x_ind = L - 1
+        mx.x_edge_ind = le
+        mx.y_edge_ind = -1
+    if first_is_bigger(mx.score, best):
+        best = mx.score
+        mx.y_ind = R - 1
+    # y gap close
+    sc = mY + 0.0
+    if first_is_bigger(sc, mx.score):
+        mx.score = sc
+        mx.matrix = Y_MAT
+        mx.y_ind = R - 1
+        mx.y_edge_ind = re
+        mx.x_edge_ind = -1
+    if first_is_bigger(mx.score, best):
+        mx.x_ind = L - 1
+    return mx
+
+
+def _bucket(n: int) -> int:
+    """Pad to a small set of shape buckets so jit compiles are reused."""
+    if n <= 128:
+        return -(-n // 32) * 32
+    if n <= 1024:
+        return -(-n // 128) * 128
+    p = 1024
+    while p < n:
+        p *= 2
+    return p
+
+
+def sheared_align_path(left: SequenceGraph, right: SequenceGraph,
+                       model: EvolModel, settings: AlignSettings,
+                       left_branch_length: float = 0.0,
+                       right_branch_length: float = 0.0,
+                       dtype=np.float64):
+    """Full fast path: sheared device fill + host backtrack."""
+    from .viterbi_jax import _backtrack_arrays
+
+    inp = prepare_sheared(left, right, model, settings, dtype)
+    args = shear_device_inputs(inp, Lp=_bucket(inp["L"]),
+                               Rp=_bucket(inp["R"]))
+    bp, final = sheared_fill(*args)
+
+    cells = _ShearedCells(bp, left, right)
+    end = _end_corner_linear(np.asarray(final), left, right, model,
+                             inp["L"], inp["R"])
+    end.bwd_score = 1.0
+    end.full_score = 1.0
+    path = _backtrack_arrays(cells, left, right, PathPtr(end, True),
+                             inp["L"], inp["R"],
+                             left_branch_length, right_branch_length)
+    return path, end
