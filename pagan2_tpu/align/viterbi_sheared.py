@@ -40,55 +40,64 @@ def is_linear_chain(g: SequenceGraph) -> bool:
 
 
 # ----------------------------------------------------------------------
-def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
-                 lng, lgo, Ldp, Rdp):
-    """One pair's fill in sheared layout.
+def batched_sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l,
+                         lw, lng, lgo, Ldp, Rdp):
+    """Batch-native fill in sheared layout (no vmap: a hand-batched scan
+    keeps the loop body a handful of large element-wise ops, which the
+    TPU pipeliner handles far better than a vmapped scan).
 
-    ms_sh is (D, Lp), rows = anti-diagonals of the match-score table.
-    gj_rext/orp_rext/rw_rext are the column-indexed vectors (gap-ext by
-    j, open penalty by j-1, right edge log-weight by j) pre-REVERSED and
+    ms_sh is (B, D, Lp): anti-diagonal rows of the match-score tables.
+    gj_rext/orp_rext/rw_rext are column-indexed vectors (gap-ext by j,
+    open penalty by j-1, right edge log-weight by j) pre-REVERSED and
     zero-padded to length 2*Lp+Rp-1, so the diagonal-d row is one
-    dynamic_slice (no per-step flip, HBM stays O(D) not O(D*L)).
-    gext_i/open_l/lw are (Lp,) per-row vectors; Ldp/Rdp are the true DP
-    dims (traced scalars). Returns (bp (D, Lp) int8, final (3,) scores of
-    the corner cell).
+    dynamic_slice (HBM stays O(D) per vector, no per-step flip).
+    gext_i/open_l/lw are (B, Lp); lng/lgo/Ldp/Rdp are (B,).
+    Returns (bp (B, D, Lp) int8, final (B, 3) corner-cell scores).
     """
-    D, Lp = ms_sh.shape
-    Rp = gj_rext.shape[0] - 2 * Lp + 1
+    B, D, Lp = ms_sh.shape
+    Rp = gj_rext.shape[1] - 2 * Lp + 1
     f = ms_sh.dtype
     big_neg = jnp.array(NEG, f)
 
-    ii = jnp.arange(Lp)
+    ii = jnp.arange(Lp)[None, :]                    # (1, Lp)
+    lngb = lng[:, None]
+    lgob = lgo[:, None]
+    Ldpb = Ldp[:, None]
+    Rdpb = Rdp[:, None]
 
-    M1 = jnp.full((Lp,), big_neg, f).at[0].set(0.0)
-    X1 = jnp.full((Lp,), big_neg, f)
-    Y1 = jnp.full((Lp,), big_neg, f)
-    M2 = jnp.full((Lp,), big_neg, f)
-    X2 = jnp.full((Lp,), big_neg, f)
-    Y2 = jnp.full((Lp,), big_neg, f)
-    final = jnp.full((3,), big_neg, f)
+    M1 = jnp.full((B, Lp), big_neg, f).at[:, 0].set(0.0)
+    X1 = jnp.full((B, Lp), big_neg, f)
+    Y1 = jnp.full((B, Lp), big_neg, f)
+    M2 = jnp.full((B, Lp), big_neg, f)
+    X2 = jnp.full((B, Lp), big_neg, f)
+    Y2 = jnp.full((B, Lp), big_neg, f)
+    final = jnp.full((B, 3), big_neg, f)
+
+    open_l_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), f), open_l[:, :-1]], axis=1)
+    corner_onehot = (ii == Ldpb - 1).astype(f)      # (B, Lp)
 
     def shift(v):
         # element i <- element i-1 (predecessor row on previous diagonal)
-        return jnp.concatenate([jnp.full((1,), big_neg, f), v[:-1]])
+        return jnp.concatenate(
+            [jnp.full((B, 1), big_neg, f), v[:, :-1]], axis=1)
 
     def step(carry, xs):
         M1, X1, Y1, M2, X2, Y2, final = carry
         d, ms = xs
         # row[i] = vec[d-i] == rvec_ext[Lp+Rp-2-d+i]
         start = Lp + Rp - 2 - d
-        gj = lax.dynamic_slice(gj_rext, (start,), (Lp,))
-        orp = lax.dynamic_slice(orp_rext, (start,), (Lp,))
-        rw = lax.dynamic_slice(rw_rext, (start,), (Lp,))
+        gj = lax.dynamic_slice_in_dim(gj_rext, start, Lp, axis=1)
+        orp = lax.dynamic_slice_in_dim(orp_rext, start, Lp, axis=1)
+        rw = lax.dynamic_slice_in_dim(rw_rext, start, Lp, axis=1)
         jjj = d - ii
-        valid = (jjj >= 0) & (jjj < Rdp) & (ii < Ldp)
+        valid = (jjj >= 0) & (jjj < Rdpb) & (ii < Ldpb)
 
         M1s, X1s, Y1s = shift(M1), shift(X1), shift(Y1)
         M2s, X2s, Y2s = shift(M2), shift(X2), shift(Y2)
 
         # X: gap consuming left site i (candidates: ext, double, open)
-        open_l_prev = jnp.concatenate([jnp.zeros((1,), f), open_l[:-1]])
-        cx = jnp.stack([X1s + gj, Y1s + lgo, M1s + lng + open_l_prev])
+        cx = jnp.stack([X1s + gj, Y1s + lgob, M1s + lngb + open_l_prev])
         bpx = jnp.argmax(cx, axis=0).astype(jnp.int32)
         vx = jnp.max(cx, axis=0)
         okx = valid & (ii > 0) & jnp.isfinite(vx)
@@ -96,7 +105,7 @@ def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
         bpx = jnp.where(okx, bpx, _NONE)
 
         # Y: gap consuming right site j (ext, double, open)
-        cy = jnp.stack([Y1 + gext_i, X1 + lgo, M1 + lng + orp])
+        cy = jnp.stack([Y1 + gext_i, X1 + lgob, M1 + lngb + orp])
         bpy = jnp.argmax(cy, axis=0).astype(jnp.int32)
         vy = jnp.max(cy, axis=0)
         oky = valid & (jjj > 0) & jnp.isfinite(vy)
@@ -104,40 +113,54 @@ def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
         bpy = jnp.where(oky, bpy, _NONE)
 
         # M: match consuming both (m, x, y)
-        wadd = lng + ms + lw + rw
-        cm = jnp.stack([M2s + lng + wadd, X2s + wadd, Y2s + wadd])
+        wadd = lngb + ms + lw + rw
+        cm = jnp.stack([M2s + lngb + wadd, X2s + wadd, Y2s + wadd])
         bpm = jnp.argmax(cm, axis=0).astype(jnp.int32)
         vm = jnp.max(cm, axis=0)
         okm = valid & (ii > 0) & (jjj > 0) & jnp.isfinite(vm)
         M = jnp.where(okm, vm, big_neg)
         bpm = jnp.where(okm, bpm, _NONE)
 
-        # keep the (0,0) corner alive on diagonal 0's successor reads
-        M = M.at[0].set(jnp.where(d == 0, 0.0, M[0]))
-
         bp = (bpm | (bpx << 2) | (bpy << 4)).astype(jnp.int8)
 
-        at_corner = d == (Ldp + Rdp - 2)
-        corner_i = Ldp - 1
-        cap = jnp.stack([jnp.take(M, corner_i), jnp.take(X, corner_i),
-                         jnp.take(Y, corner_i)])
-        final = jnp.where(at_corner, cap, final)
+        # capture the corner cell on its diagonal (per-job position);
+        # mask via where (not multiply) so -inf cells can't produce NaN
+        hit = d == (Ldpb + Rdpb - 2)                    # (B, 1)
+        oh = (corner_onehot > 0) & hit
+        cap = jnp.stack([jnp.where(oh, M, 0).sum(1),
+                         jnp.where(oh, X, 0).sum(1),
+                         jnp.where(oh, Y, 0).sum(1)], axis=1)
+        final = jnp.where(hit, cap, final)
 
         return (M, X, Y, M1, X1, Y1, final), bp
 
     ds = jnp.arange(1, D)
     carry, bps = lax.scan(
         step, (M1, X1, Y1, M2, X2, Y2, final),
-        (ds, ms_sh[1:]))
+        (ds, jnp.swapaxes(ms_sh, 0, 1)[1:]))
     final = carry[-1]
-    # prepend the d=0 row (no backpointers)
-    bp0 = jnp.full((1, Lp), _NONE | (_NONE << 2) | (_NONE << 4), jnp.int8)
-    bps = jnp.concatenate([bp0, bps], axis=0)
-    return bps, final
+    # prepend the d=0 row (no backpointers) and restore batch-major order
+    bps = jnp.swapaxes(bps, 0, 1)                   # (B, D-1, Lp)
+    bp0 = jnp.full((B, 1, Lp), _NONE | (_NONE << 2) | (_NONE << 4),
+                   jnp.int8)
+    return jnp.concatenate([bp0, bps], axis=1), final
+
+
+batched_sheared_fill = jax.jit(batched_sheared_core)
+
+
+def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
+                 lng, lgo, Ldp, Rdp):
+    """Single-pair wrapper over the batch-native core."""
+    bp, final = batched_sheared_core(
+        ms_sh[None], gj_rext[None], orp_rext[None], rw_rext[None],
+        gext_i[None], open_l[None], lw[None],
+        jnp.asarray(lng)[None], jnp.asarray(lgo)[None],
+        jnp.asarray(Ldp)[None], jnp.asarray(Rdp)[None])
+    return bp[0], final[0]
 
 
 sheared_fill = jax.jit(sheared_core)
-batched_sheared_fill = jax.jit(jax.vmap(sheared_core))
 
 
 # ----------------------------------------------------------------------

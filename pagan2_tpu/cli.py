@@ -1,0 +1,271 @@
+"""Command-line interface mirroring the reference pagan2 binary's flag
+surface (src/utils/settings.cpp:40-302), driving the TPU-native engine.
+
+Usage:  python -m pagan2_tpu -s seqs.fas -t tree.nh -o out
+        python -m pagan2_tpu --pileup --homopolymer -q 454_reads.fas -o out
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pagan2-tpu",
+        description="Phylogeny-aware multiple sequence alignment "
+                    "(TPU-native PAGAN2)")
+    g = p.add_argument_group("input/output")
+    g.add_argument("-s", "--seqfile", help="sequence infile (FASTA/FASTQ)")
+    g.add_argument("-t", "--treefile", help="guide tree (Newick)")
+    g.add_argument("-q", "--queryfile", help="reads/query file")
+    g.add_argument("--ref-seqfile", help="reference alignment file")
+    g.add_argument("--ref-treefile", help="reference tree file")
+    g.add_argument("-o", "--outfile", default="outfile",
+                   help="output prefix")
+    g.add_argument("--outformat", default="fasta",
+                   choices=["fasta", "phylip", "phylipi", "nexus", "paml",
+                            "raxml"])
+    g.add_argument("--xml", action="store_true", help="also write HSAML xml")
+    g.add_argument("--output-ancestors", action="store_true")
+    g.add_argument("--output-graph", action="store_true",
+                   help="write root graph (.grp)")
+    g.add_argument("--output-nhx-tree", action="store_true")
+
+    m = p.add_argument_group("model")
+    m.add_argument("--codons", action="store_true")
+    m.add_argument("--protein", action="store_true")
+    m.add_argument("--char-kappa", type=float, default=2.0)
+    m.add_argument("--char-rho", type=float, default=1.0)
+    m.add_argument("--ins-rate", type=float)
+    m.add_argument("--del-rate", type=float)
+    m.add_argument("--indel-rate", type=float)
+    m.add_argument("--gap-extension", type=float)
+    m.add_argument("--end-gap-extension", type=float)
+    m.add_argument("--pair-read-gap-extension", type=float)
+    m.add_argument("--mostcommon", action="store_true")
+    m.add_argument("--ambiguity-factor", type=float, default=1.0)
+    m.add_argument("--no-log-odds", action="store_true")
+    m.add_argument("--no-score-scaling", action="store_true")
+    m.add_argument("--pacbio", action="store_true")
+
+    t = p.add_argument_group("tree")
+    t.add_argument("--scale-branches", type=float)
+    t.add_argument("--truncate-branches", type=float, default=0.2)
+    t.add_argument("--real-branches", action="store_true")
+    t.add_argument("--fixed-branches", type=float)
+    t.add_argument("--min-branch-length", type=float, default=0.001)
+
+    a = p.add_argument_group("alignment")
+    a.add_argument("--no-terminal-edges", action="store_true")
+    a.add_argument("--no-reduced-terminal-penalties", action="store_true")
+    a.add_argument("--keep-all-edges", action="store_true")
+    a.add_argument("--branch-length-confirm-insertion", type=float)
+    a.add_argument("--any-skips-confirm-insertion", type=int)
+    a.add_argument("--match-skips-confirm-insertion", type=int)
+    a.add_argument("--branch-skip-weight-per-distance", type=float)
+    a.add_argument("--branch-skip-penalty-per-branch", type=float)
+
+    r = p.add_argument_group("reads/pileup")
+    r.add_argument("--pileup", "--pileup-alignment", action="store_true",
+                   dest="pileup")
+    r.add_argument("--454", action="store_true", dest="mode454")
+    r.add_argument("--homopolymer", action="store_true")
+    r.add_argument("--both-strands", action="store_true")
+    r.add_argument("--use-consensus", action="store_true")
+    r.add_argument("--build-contigs", action="store_true")
+    r.add_argument("--consensus-minimum", type=int, default=5)
+    r.add_argument("--consensus-minimum-proportion", type=float, default=0.5)
+    r.add_argument("--min-query-overlap", type=float, default=0.5)
+    r.add_argument("--min-query-identity", type=float, default=0.5)
+    r.add_argument("--query-distance", type=float, default=0.1)
+    r.add_argument("--query-cluster-attempts", type=int, default=1)
+    r.add_argument("--overlap-with-any", action="store_true")
+    r.add_argument("--terminal-nodes", action="store_true")
+    r.add_argument("--internal-nodes", action="store_true")
+    r.add_argument("--all-nodes", action="store_true")
+
+    x = p.add_argument_group("execution")
+    x.add_argument("--engine", default="auto",
+                   choices=["auto", "jax", "oracle"])
+    x.add_argument("--threads", type=int, default=1,
+                   help="accepted for compatibility; batching replaces it")
+    x.add_argument("--silent", action="store_true")
+    x.add_argument("--noise", type=int, default=0)
+    x.add_argument("--anchors", action="store_true", default=True)
+    x.add_argument("--no-anchors", action="store_true")
+    return p
+
+
+def resolve_data_type(args, entries) -> str:
+    from .models import alphabets as alph
+    from .io.fasta import guess_data_type
+    if args.codons:
+        return alph.CODON
+    if args.protein:
+        return alph.PROTEIN
+    return guess_data_type(entries)
+
+
+def make_model_factory(args, data_type, entries):
+    from .models import ModelFactory, IndelParams, alphabets as alph
+    from .io.fasta import empirical_dna_frequencies
+
+    indel = IndelParams.for_data_type(data_type, pacbio=args.pacbio)
+    if args.indel_rate is not None:
+        indel.ins_rate = indel.del_rate = args.indel_rate
+    if args.ins_rate is not None:
+        indel.ins_rate = args.ins_rate
+    if args.del_rate is not None:
+        indel.del_rate = args.del_rate
+    if args.gap_extension is not None:
+        indel.gap_ext = args.gap_extension
+    if args.end_gap_extension is not None:
+        indel.end_gap_ext = args.end_gap_extension
+    if args.pair_read_gap_extension is not None:
+        indel.break_gap_ext = args.pair_read_gap_extension
+
+    scaling = "log-odds"
+    if args.no_score_scaling:
+        scaling = "none"
+    elif args.no_log_odds:
+        scaling = "raw"
+
+    kw = dict(indel=indel, score_scaling=scaling,
+              ambiguity_factor=args.ambiguity_factor,
+              mostcommon=args.mostcommon,
+              pileup_454=(args.mode454 or args.homopolymer) and args.pileup)
+    if data_type == alph.DNA:
+        kw.update(dna_pi=empirical_dna_frequencies(entries),
+                  kappa=args.char_kappa, rho=args.char_rho)
+    return ModelFactory(data_type, **kw)
+
+
+def make_settings(args):
+    from .align import AlignSettings
+    from dataclasses import replace
+    s = AlignSettings(
+        no_terminal_edges=args.no_terminal_edges,
+        reduced_terminal_gap_penalties=not args.no_reduced_terminal_penalties,
+    )
+    if args.branch_length_confirm_insertion is not None:
+        s = replace(s, max_allowed_skip_distance=args.branch_length_confirm_insertion)
+    if args.any_skips_confirm_insertion is not None:
+        s = replace(s, max_allowed_skip_branches=args.any_skips_confirm_insertion)
+    if args.match_skips_confirm_insertion is not None:
+        s = replace(s, max_allowed_match_skip_branches=args.match_skips_confirm_insertion)
+    if args.branch_skip_weight_per_distance is not None:
+        s = replace(s, branch_skip_weight=args.branch_skip_weight_per_distance,
+                    weighted_branch_skip_penalty=True)
+    if args.branch_skip_penalty_per_branch is not None:
+        s = replace(s, branch_skip_probability=args.branch_skip_penalty_per_branch,
+                    weighted_branch_skip_penalty=False)
+    return s
+
+
+def write_outputs(args, tree, alignment, data_type):
+    from .io.fasta import (write_fasta, write_phylip, write_nexus,
+                           write_paml)
+    from .io.writers import write_xml, write_graph_file
+
+    fmt = args.outformat
+    out = args.outfile
+    if fmt == "fasta":
+        write_fasta(alignment, out + ".fas")
+    elif fmt in ("phylip", "raxml"):
+        write_phylip(alignment, out + ".phy")
+    elif fmt == "phylipi":
+        write_phylip(alignment, out + ".phy", interleaved=True)
+    elif fmt == "nexus":
+        write_nexus(alignment, out + ".nex", data_type=data_type)
+    elif fmt == "paml":
+        write_paml(alignment, out + ".phy")
+    if args.xml and tree is not None:
+        write_xml(tree, alignment, out + ".xml")
+    if args.output_graph and tree is not None and tree.graph is not None:
+        write_graph_file(tree.graph, out + ".grp")
+    if tree is not None and (args.output_nhx_tree or args.output_ancestors):
+        with open(out + ".anctree", "w") as f:
+            f.write(tree.to_newick(with_names_for_internal=True) + "\n")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .io.fasta import read_sequences
+
+    if args.pileup:
+        if not args.queryfile:
+            print("--pileup requires -q/--queryfile", file=sys.stderr)
+            return 1
+        reads = read_sequences(args.queryfile)
+        data_type = resolve_data_type(args, reads)
+        from .pipeline.pileup import pileup_align, PileupConfig
+        cfg = PileupConfig(
+            mode454=args.mode454, homopolymer=args.homopolymer,
+            both_strands=args.both_strands,
+            min_query_overlap=args.min_query_overlap,
+            min_query_identity=args.min_query_identity,
+            query_cluster_attempts=args.query_cluster_attempts,
+            query_distance=args.query_distance,
+            use_consensus=args.use_consensus or args.build_contigs,
+            consensus_minimum=args.consensus_minimum,
+            consensus_minimum_proportion=args.consensus_minimum_proportion,
+            overlap_with_any=args.overlap_with_any,
+            engine=args.engine)
+        mf = make_model_factory(args, data_type, reads)
+        res = pileup_align(reads, data_type, cfg, model_factory=mf)
+        write_outputs(args, res.root, res.alignment, data_type)
+        if not args.silent:
+            print(f"pileup: {len(res.alignment)} rows, "
+                  f"{len(res.discarded)} reads discarded -> {args.outfile}")
+        return 0
+
+    if not args.seqfile:
+        print("need -s/--seqfile (or --pileup -q reads)", file=sys.stderr)
+        return 1
+
+    entries = read_sequences(args.seqfile)
+    data_type = resolve_data_type(args, entries)
+    mf = make_model_factory(args, data_type, entries)
+    settings = make_settings(args)
+
+    if args.treefile:
+        tree_text = open(args.treefile).read()
+    else:
+        from .tree.inference import infer_guide_tree
+        tree_text = infer_guide_tree(entries, data_type)
+
+    from .tree.newick import parse_newick
+    tree = parse_newick(tree_text)
+    tree.apply_branch_length_rules(
+        min_len=args.min_branch_length,
+        truncate=None if args.real_branches else args.truncate_branches,
+        scale=args.scale_branches, fixed=args.fixed_branches,
+        real_branches=args.real_branches)
+
+    from .pipeline import align_progressive
+    res = align_progressive(
+        entries, tree, data_type=data_type, settings=settings,
+        model_factory=mf, engine=args.engine,
+        include_internal_nodes=args.output_ancestors,
+        mode454=args.mode454, homopolymer=args.homopolymer)
+
+    if args.output_ancestors:
+        from .pipeline.ancestors import reconstruct_parsimony_ancestors
+        reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
+        from .pipeline.progressive import extract_alignment
+        res.alignment[:] = extract_alignment(res.tree, True,
+                                             data_type=data_type)
+
+    write_outputs(args, res.tree, res.alignment, data_type)
+    if not args.silent:
+        n = len(res.alignment)
+        l = len(res.alignment[0].sequence) if n else 0
+        print(f"alignment: {n} rows x {l} cols -> {args.outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
