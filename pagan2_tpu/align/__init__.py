@@ -1,31 +1,73 @@
 from .settings import AlignSettings, X_MAT, Y_MAT, M_MAT
 from .oracle import PairAligner, PathPtr, MatrixPtr
 from .ancestral import build_ancestral_graph
+from ..utils import log_out
 
 
 def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                right_branch_length=0.0, is_reads_sequence=False,
-               engine="auto", compute_consensus=False):
+               engine="auto", compute_consensus=False, band=None,
+               use_anchors=None, anchor_min_sites=None):
     """Align two sequence graphs and build the ancestral graph.
 
     engine: "oracle" (host loops, ground truth), "jax" (vectorized
     wavefront DP on device), or "auto" (jax, falling back to oracle).
+    band: explicit (upper, lower) tunnel bounds; use_anchors /
+    anchor_min_sites override the AlignSettings fields (the reference
+    anchors every pair unless --no-anchors, node.cpp:87-152 — we gate
+    by size since small matrices are cheaper than anchor discovery).
+    Long anchored pairs with a thin band run the windowed O(D x W)
+    kernel (viterbi_banded); wider bands use the masked full-width
+    sheared kernel.
     Returns (ancestral_graph, end_pointer).
     """
     settings = settings or AlignSettings()
     if is_reads_sequence:
         settings = settings.for_reads()
+    if use_anchors is None:
+        use_anchors = settings.use_anchors
+    if anchor_min_sites is None:
+        anchor_min_sites = settings.anchor_min_sites
 
     path = None
     end = None
     if engine in ("jax", "auto"):
         try:
             ok = not (settings.pair_end_reads or settings.compute_full_score)
-            from .viterbi_sheared import is_linear_chain, sheared_align_path
+            from .viterbi_sheared import (is_linear_chain,
+                                          sheared_align_path, _bucket)
             if ok and is_linear_chain(left) and is_linear_chain(right):
-                path, end = sheared_align_path(
-                    left, right, model, settings,
-                    left_branch_length, right_branch_length)
+                if band is None and use_anchors and \
+                        min(left.num_sites(), right.num_sites()) > \
+                        anchor_min_sites:
+                    from .anchors import define_tunnel_for_graphs
+                    upper, lower, _blocks, cov = \
+                        define_tunnel_for_graphs(
+                            left, right,
+                            use_prefix_anchors=settings.use_prefix_anchors,
+                            prefix_hit_length=settings.prefix_hit_length,
+                            width=settings.anchors_offset)
+                    band = (upper, lower)
+                    # viterbi_alignment.cpp:176-179
+                    log_out("Computing %.0f%% of DP matrix." % (cov * 100),
+                            1)
+                if band is not None:
+                    from .viterbi_banded import band_windows, \
+                        banded_align_path
+                    L = left.num_sites() - 1
+                    R = right.num_sites() - 1
+                    _ilo, Wreal = band_windows(band[0], band[1], L, R)
+                    if _bucket(Wreal) * 2 <= _bucket(R):
+                        log_out("banded DP: window %d of %d cols" %
+                                (Wreal, R), 2)
+                        path, end = banded_align_path(
+                            left, right, model, settings,
+                            band[0], band[1],
+                            left_branch_length, right_branch_length)
+                if path is None:
+                    path, end = sheared_align_path(
+                        left, right, model, settings,
+                        left_branch_length, right_branch_length, band=band)
             else:
                 from .viterbi_jax import jax_align_path
                 path, end = jax_align_path(left, right, model, settings,

@@ -1,0 +1,393 @@
+"""Anchor discovery and DP tunnel (band) construction.
+
+TPU-native replacements for the reference's anchoring stack
+(src/utils/find_anchors.cpp, src/utils/ncbi_blast.cpp):
+
+* prefix anchors — exact transliteration of the suffix-sort shared-prefix
+  search (find_anchors.cpp:35-127), used for parity runs
+  (--use-prefix-anchors);
+* k-mer anchors — the native fast path standing in for in-process BLAST:
+  unique-k-mer seeding + greedy diagonal chaining, all numpy;
+* eliminate_bad_hits — diagonal-distance filtering
+  (find_anchors.cpp:497-545);
+* define_tunnel_with_overlapping_hits — monotone per-row band bounds
+  with offset widening and empty-block detection
+  (find_anchors.cpp:633-861).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class SubstringHit:
+    start_site_1: int
+    start_site_2: int
+    length: int
+    score: float = 0.0
+    plus_strand_1: bool = True
+    plus_strand_2: bool = True
+
+
+@dataclass
+class TunnelBlock:
+    sx: int = 0
+    sy: int = 0
+    ex: int = 0
+    ey: int = 0
+
+    def size(self) -> int:
+        return (self.ex - self.sx) * (self.ey - self.sy)
+
+
+# ----------------------------------------------------------------------
+def find_prefix_anchors(s1: str, s2: str, min_length: int = 30
+                        ) -> list[SubstringHit]:
+    """Shared-prefix anchors via suffix sorting (find_anchors.cpp:35-127):
+    sort all suffixes of both strings together; adjacent suffixes from
+    different strings with a shared prefix >= min_length become hits;
+    keep greedily by length, dropping overlaps."""
+    n1, n2 = len(s1), len(s2)
+    suffixes = sorted(
+        [(s1[i:], 0, i) for i in range(n1)] +
+        [(s2[j:], 1, j) for j in range(n2)])
+    hits: list[SubstringHit] = []
+    for a, b in zip(suffixes, suffixes[1:]):
+        if a[1] == b[1]:
+            continue
+        # shared prefix length
+        x, y = a[0], b[0]
+        m = min(len(x), len(y))
+        k = 0
+        while k < m and x[k] == y[k]:
+            k += 1
+        if k >= min_length:
+            p1 = a[2] if a[1] == 0 else b[2]
+            p2 = b[2] if a[1] == 0 else a[2]
+            hits.append(SubstringHit(p1, p2, k, k))
+
+    hits.sort(key=lambda h: -h.length)
+
+    hit1 = np.zeros(n1, dtype=bool)
+    hit2 = np.zeros(n2, dtype=bool)
+    kept = []
+    for h in hits:
+        sl1 = slice(h.start_site_1, h.start_site_1 + h.length)
+        sl2 = slice(h.start_site_2, h.start_site_2 + h.length)
+        if hit1[sl1].any() or hit2[sl2].any():
+            continue
+        hit1[sl1] = True
+        hit2[sl2] = True
+        kept.append(h)
+    return kept
+
+
+def find_kmer_anchors(s1: str, s2: str, k: int = 16,
+                      min_run: int = 1) -> list[SubstringHit]:
+    """Native BLAST-stand-in: match k-mers that occur exactly once in
+    each sequence, merge co-diagonal consecutive seeds into maximal runs.
+    O(n) with dict seeding; robust for the closely-related sequences
+    anchoring targets."""
+    def unique_kmers(s):
+        pos = {}
+        dup = set()
+        for i in range(len(s) - k + 1):
+            w = s[i:i + k]
+            if w in dup:
+                continue
+            if w in pos:
+                del pos[w]
+                dup.add(w)
+            else:
+                pos[w] = i
+        return pos
+
+    p1 = unique_kmers(s1)
+    p2 = unique_kmers(s2)
+    seeds = sorted((p1[w], p2[w]) for w in p1.keys() & p2.keys())
+
+    hits = []
+    cur = None
+    for (i, j) in seeds:
+        if cur and i - cur[0] == j - cur[1] and i <= cur[0] + cur[2]:
+            cur[2] = i + k - cur[0]
+        else:
+            if cur:
+                hits.append(cur)
+            cur = [i, j, k]
+    if cur:
+        hits.append(cur)
+    out = [SubstringHit(i, j, l, l) for (i, j, l) in hits
+           if l >= min_run * k]
+    return out
+
+
+# ----------------------------------------------------------------------
+def _distance(h: SubstringHit, s: SubstringHit) -> int:
+    return abs((s.start_site_1 - s.start_site_2) -
+               (h.start_site_1 - h.start_site_2))
+
+
+def _probably_bad(h, s) -> bool:
+    if h.start_site_1 < s.start_site_1 and h.start_site_2 > s.start_site_2 \
+            and h.start_site_1 + h.length < s.start_site_1 + s.length:
+        return True
+    if h.start_site_1 > s.start_site_1 and h.start_site_2 < s.start_site_2 \
+            and h.start_site_2 + h.length < s.start_site_2 + s.length:
+        return True
+    return False
+
+
+def _totally_overlapping(h, s) -> bool:
+    if h.start_site_1 >= s.start_site_1 and \
+            h.start_site_1 + h.length <= s.start_site_1 + s.length:
+        return True
+    if h.start_site_2 >= s.start_site_2 and \
+            h.start_site_2 + h.length <= s.start_site_2 + s.length:
+        return True
+    return False
+
+
+def _overlaps_at_begin(h, s) -> int:
+    overlap = 0
+    if h.start_site_1 >= s.start_site_1 and \
+            h.start_site_1 + h.length > s.start_site_1 + s.length:
+        overlap = max(overlap, s.start_site_1 + s.length - h.start_site_1)
+    if h.start_site_2 >= s.start_site_2 and \
+            h.start_site_2 + h.length > s.start_site_2 + s.length:
+        overlap = max(overlap, s.start_site_2 + s.length - h.start_site_2)
+    return max(0, overlap)
+
+
+def _partly_overlapping(h, s) -> bool:
+    return _overlaps_at_begin(h, s) > 0 or _overlaps_at_begin(s, h) > 0
+
+
+def eliminate_bad_hits(hits: list[SubstringHit],
+                       threshold_totally_overlapping: int = 50,
+                       threshold_partly_overlapping: int = 400
+                       ) -> list[SubstringHit]:
+    """find_anchors.cpp:497-545 (mutating scan with a good-hit set)."""
+    good: list[SubstringHit] = []
+    out: list[SubstringHit] = []
+    for h in hits:
+        bad = False
+        decent = False
+        for s in good:
+            if _probably_bad(h, s) or _totally_overlapping(h, s):
+                if _distance(h, s) > threshold_totally_overlapping:
+                    bad = True
+                    break
+                decent = True
+            elif _partly_overlapping(h, s):
+                if _distance(h, s) > threshold_partly_overlapping:
+                    bad = True
+                    break
+        if not bad:
+            if not decent:
+                good.append(h)
+            out.append(h)
+    return out
+
+
+# ----------------------------------------------------------------------
+def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
+                  width: int = 15):
+    """define_tunnel_with_overlapping_hits (find_anchors.cpp:633-861).
+
+    Returns (upper, lower, empty_blocks): per-row [0..l1] inclusive j
+    bounds in gapped coordinates (upper = min j, lower = max j — the
+    reference's naming), plus empty blocks for --force-gap.
+    """
+    hits = [h for h in hits if h.plus_strand_1 and h.plus_strand_2]
+    l1 = len(s1_gapped)
+    l2 = len(s2_gapped)
+
+    # ungapped position -> gapped position + 1
+    i1 = [i + 1 for i, c in enumerate(s1_gapped) if c != "-"]
+    i2 = [i + 1 for i, c in enumerate(s2_gapped) if c != "-"]
+
+    min_h = 0
+    max_h = l2
+    lowest = np.full(l1 + 1, max_h + 1, dtype=np.int64)
+    highest = np.full(l1 + 1, min_h - 1, dtype=np.int64)
+
+    for h in hits:
+        for a in range(h.length):
+            x = i1[h.start_site_1 + a]
+            y = i2[h.start_site_2 + a]
+            if y < lowest[x]:
+                lowest[x] = max(y, min_h)
+            if y > highest[x]:
+                highest[x] = min(y, max_h)
+
+    # monotone smoothing ("must not go zigzag")
+    prev_high = highest[0]
+    for i in range(l1 + 1):
+        if highest[i] > min_h:
+            if highest[i] < prev_high:
+                highest[i] = prev_high
+            prev_high = highest[i]
+    prev_low = lowest[l1]
+    for i in range(l1, -1, -1):
+        if lowest[i] < max_h:
+            if lowest[i] > prev_low:
+                lowest[i] = prev_low
+            prev_low = lowest[i]
+
+    # empty blocks (for --force-gap)
+    empty_blocks: list[TunnelBlock] = []
+    cur = TunnelBlock(0, 0, 0, 0)
+    for i in range(1, l1 + 1):
+        if highest[i - 1] >= min_h and highest[i] < min_h:
+            cur = TunnelBlock(i, int(highest[i - 1]), 0, 0)
+        elif highest[i] >= min_h and highest[i - 1] < min_h:
+            if lowest[i] > cur.sy:
+                cur.ex = i
+                cur.ey = int(lowest[i])
+                if cur.size() > 10:
+                    empty_blocks.append(cur)
+        elif i == l1 and highest[i] < min_h:
+            if max_h > cur.sy:
+                cur.ex = i
+                cur.ey = max_h
+                if cur.size() > 10:
+                    empty_blocks.append(cur)
+    empty_blocks.sort(key=lambda b: -b.size())
+
+    # fill gaps
+    prev_low = min_h
+    for i in range(l1 + 1):
+        if lowest[i] >= max_h:
+            lowest[i] = prev_low
+        prev_low = lowest[i]
+    prev_high = max_h
+    for i in range(l1, -1, -1):
+        if highest[i] <= min_h:
+            highest[i] = prev_high
+        prev_high = highest[i]
+
+    lowest[0] = min_h
+    highest[l1] = max_h
+
+    # widen on y
+    highest = np.minimum(max_h, highest + width)
+    lowest = np.maximum(min_h, lowest - width)
+
+    # widen on x (ensure thickness against steps)
+    overflow_high = []
+    for i in range(1, l1 + 1):
+        if (i + 1 > l1 or highest[i] == highest[i + 1]) and \
+                highest[i - 1] < highest[i] - 1:
+            overflow_high.append((i, True))
+        elif highest[i - 1] < highest[i] - 1:
+            overflow_high.append((i, False))
+    for (i, gapped) in overflow_high:
+        if gapped:
+            x = i - 1
+            while x >= max(i - width, 0) and highest[x] >= min_h:
+                highest[x] = max(highest[x], highest[i])
+                x -= 1
+        else:
+            x = i - 1
+            while x >= max(i - width, 0) and highest[x] >= min_h:
+                highest[x] = max(highest[x], highest[x + 1] - 1)
+                x -= 1
+
+    overflow_low = []
+    for i in range(l1 - 1, -1, -1):
+        if (i - 1 < 0 or lowest[i] == lowest[i - 1]) and \
+                lowest[i + 1] > lowest[i] + 1:
+            overflow_low.append((i, True))
+        elif lowest[i + 1] > lowest[i] + 1:
+            overflow_low.append((i, False))
+    for (i, gapped) in overflow_low:
+        if gapped:
+            x = i + 1
+            while x <= min(i + width, l1) and lowest[x] <= max_h:
+                lowest[x] = min(lowest[x], lowest[i])
+                x += 1
+        else:
+            x = i + 1
+            while x <= min(i + width, l1) and lowest[x] <= max_h:
+                lowest[x] = min(lowest[x], lowest[x - 1] + 1)
+                x += 1
+
+    upper = lowest.astype(np.int32)    # min j per row (reference naming)
+    lower = highest.astype(np.int32)   # max j per row
+    return upper, lower, empty_blocks
+
+
+def tunnel_coverage(upper, lower, l1: int, l2: int) -> float:
+    """In-band fraction of the DP matrix (viterbi_alignment.cpp:172-179)."""
+    sums = int(np.sum(lower[:l1] - upper[:l1]))
+    return float(sums) / (float(l1) * float(l2)) if l1 and l2 else 1.0
+
+
+def replace_largest_block_with_gap(upper, lower, empty_blocks,
+                                   threshold: int = 40000):
+    """--force-gap: squeeze the band to a forced x-gap across the largest
+    anchor-free block (viterbi_alignment.cpp:467-553 in spirit: the band
+    collapses to the block's corner row so the block's cells vanish)."""
+    if not empty_blocks:
+        return None
+    blk = empty_blocks[0]
+    if blk.size() < threshold:
+        return None
+    empty_blocks.pop(0)
+    upper = upper.copy()
+    lower = lower.copy()
+    for x in range(blk.sx, blk.ex + 1):
+        upper[x] = max(upper[x], blk.sy)
+        lower[x] = min(lower[x], max(blk.sy + 1, upper[x]))
+    return upper, lower
+
+
+# ----------------------------------------------------------------------
+def graph_strings(g, with_gaps: bool):
+    """Sequence::get_sequence_string (sequence.cpp): terminal graphs give
+    their symbols; ancestors render skipped/non-real as '-' (gapped) or
+    omit them (ungapped)."""
+    from ..graph.sequence_graph import XSKIPPED, YSKIPPED, NON_REAL
+    from ..models import alphabets as alph
+    n = g.num_sites()
+    if g.terminal_sequence and not any(
+            g.path_state[j] in (XSKIPPED, YSKIPPED) or
+            g.site_type[j] == NON_REAL for j in range(1, n - 1)):
+        return "".join(g.symbols[1:n - 1])
+    syms = alph.ancestral_symbols(g.data_type)
+    out = []
+    gap = g.gap_symbol
+    for j in range(1, n - 1):
+        skip = (g.path_state[j] in (XSKIPPED, YSKIPPED) or
+                g.site_type[j] == NON_REAL)
+        if not skip:
+            st = g.states[j]
+            out.append(syms[st] if 0 <= st < len(syms) else "N")
+        elif with_gaps:
+            out.append(gap)
+    return "".join(out)
+
+
+def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
+                             prefix_hit_length: int = 30,
+                             kmer: int = 16, width: int = 15,
+                             threshold_total: int = 50,
+                             threshold_partly: int = 400):
+    """Full anchoring pipeline for two sequence graphs: hit discovery on
+    ungapped strings, bound construction on gapped coordinates
+    (viterbi_alignment.cpp:44-185)."""
+    u1 = graph_strings(left, False)
+    u2 = graph_strings(right, False)
+    if use_prefix_anchors:
+        hits = find_prefix_anchors(u1, u2, prefix_hit_length)
+    else:
+        hits = find_kmer_anchors(u1, u2, k=kmer)
+        hits = eliminate_bad_hits(hits, threshold_total, threshold_partly)
+    g1 = graph_strings(left, True)
+    g2 = graph_strings(right, True)
+    upper, lower, blocks = define_tunnel(hits, g1, g2, width)
+    cov = tunnel_coverage(upper, lower, len(g1), len(g2))
+    return upper, lower, blocks, cov

@@ -25,6 +25,14 @@ class AlignSettings:
     edges_for_skipped_flanked_by_gaps: bool = False
     pair_end_reads: bool = False
     sample_path: bool = False
+    # anchoring (--no-anchors / --use-prefix-anchors; node.cpp:87-152).
+    # The reference anchors every pair; we gate by size since tiny
+    # matrices are cheaper than anchor discovery.
+    use_anchors: bool = True
+    use_prefix_anchors: bool = False
+    anchor_min_sites: int = 3000
+    prefix_hit_length: int = 30
+    anchors_offset: int = 15
 
     def for_reads(self) -> "AlignSettings":
         """set_reads_alignment_settings (basic_alignment.h:572-586)."""

@@ -41,7 +41,7 @@ def is_linear_chain(g: SequenceGraph) -> bool:
 
 # ----------------------------------------------------------------------
 def batched_sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l,
-                         lw, lng, lgo, Ldp, Rdp):
+                         lw, lng, lgo, Ldp, Rdp, band_lo, band_hi):
     """Batch-native fill in sheared layout (no vmap: a hand-batched scan
     keeps the loop body a handful of large element-wise ops, which the
     TPU pipeliner handles far better than a vmapped scan).
@@ -52,6 +52,10 @@ def batched_sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l,
     zero-padded to length 2*Lp+Rp-1, so the diagonal-d row is one
     dynamic_slice (HBM stays O(D) per vector, no per-step flip).
     gext_i/open_l/lw are (B, Lp); lng/lgo/Ldp/Rdp are (B,).
+    band_lo/band_hi (B, Lp) int32 restrict each row's column range — the
+    anchored tunnel (full matrix: 0 / Rp-1). Out-of-band cells stay at
+    -inf, reproducing the Tunnel_matrix sentinel semantics
+    (tunnel_matrix.h:82-98).
     Returns (bp (B, D, Lp) int8, final (B, 3) corner-cell scores).
     """
     B, D, Lp = ms_sh.shape
@@ -91,7 +95,8 @@ def batched_sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l,
         orp = lax.dynamic_slice_in_dim(orp_rext, start, Lp, axis=1)
         rw = lax.dynamic_slice_in_dim(rw_rext, start, Lp, axis=1)
         jjj = d - ii
-        valid = (jjj >= 0) & (jjj < Rdpb) & (ii < Ldpb)
+        valid = (jjj >= 0) & (jjj < Rdpb) & (ii < Ldpb) & \
+            (jjj >= band_lo) & (jjj <= band_hi)
 
         M1s, X1s, Y1s = shift(M1), shift(X1), shift(Y1)
         M2s, X2s, Y2s = shift(M2), shift(X2), shift(Y2)
@@ -150,13 +155,14 @@ batched_sheared_fill = jax.jit(batched_sheared_core)
 
 
 def sheared_core(ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
-                 lng, lgo, Ldp, Rdp):
+                 lng, lgo, Ldp, Rdp, band_lo, band_hi):
     """Single-pair wrapper over the batch-native core."""
     bp, final = batched_sheared_core(
         ms_sh[None], gj_rext[None], orp_rext[None], rw_rext[None],
         gext_i[None], open_l[None], lw[None],
         jnp.asarray(lng)[None], jnp.asarray(lgo)[None],
-        jnp.asarray(Ldp)[None], jnp.asarray(Rdp)[None])
+        jnp.asarray(Ldp)[None], jnp.asarray(Rdp)[None],
+        band_lo[None], band_hi[None])
     return bp[0], final[0]
 
 
@@ -243,8 +249,9 @@ def _rext(vec_np, R, Rp, Lp, dtype):
         [np.zeros(Lp - 1, dtype), v[::-1], np.zeros(Lp, dtype)]))
 
 
-def shear_device_inputs(inp, Lp=None, Rp=None):
-    """Build sheared device arrays (optionally padded to Lp/Rp buckets)."""
+def shear_device_inputs(inp, Lp=None, Rp=None, upper=None, lower=None):
+    """Build sheared device arrays (optionally padded to Lp/Rp buckets).
+    upper/lower: optional per-row [min j, max j] band bounds (length L)."""
     L, R = inp["L"], inp["R"]
     Lp = Lp or L
     Rp = Rp or R
@@ -259,9 +266,21 @@ def shear_device_inputs(inp, Lp=None, Rp=None):
     gext_i = jnp.zeros((Lp,), dtype).at[:L].set(inp["gext_i"])
     open_l = jnp.zeros((Lp,), dtype).at[:L].set(inp["open_l"])
     lw = jnp.zeros((Lp,), dtype).at[:L].set(inp["lw"])
+    if upper is None:
+        band_lo = jnp.zeros((Lp,), jnp.int32)
+    else:
+        bl = np.zeros(Lp, np.int32)
+        bl[:L] = np.asarray(upper[:L], np.int32)
+        band_lo = jnp.asarray(bl)
+    if lower is None:
+        band_hi = jnp.full((Lp,), Rp - 1, jnp.int32)
+    else:
+        bh = np.full(Lp, Rp - 1, np.int32)
+        bh[:L] = np.asarray(lower[:L], np.int32)
+        band_hi = jnp.asarray(bh)
     return (ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
             dtype.type(inp["lng"]), dtype.type(inp["lgo"]),
-            jnp.int32(L), jnp.int32(R))
+            jnp.int32(L), jnp.int32(R), band_lo, band_hi)
 
 
 # ----------------------------------------------------------------------
@@ -369,17 +388,34 @@ def sheared_align_path(left: SequenceGraph, right: SequenceGraph,
                        model: EvolModel, settings: AlignSettings,
                        left_branch_length: float = 0.0,
                        right_branch_length: float = 0.0,
-                       dtype=np.float64):
-    """Full fast path: sheared device fill + host backtrack."""
+                       dtype=np.float64,
+                       band=None):
+    """Full fast path: sheared device fill + host backtrack.
+
+    band: optional (upper, lower) per-row column bounds from the
+    anchoring pipeline. If the banded DP cannot reach the end corner the
+    full matrix is recomputed (the reference's anchored-DP fallback,
+    viterbi_alignment.cpp:298-317)."""
     from .viterbi_jax import _backtrack_arrays
 
     inp = prepare_sheared(left, right, model, settings, dtype)
+    upper = band[0] if band else None
+    lower = band[1] if band else None
     args = shear_device_inputs(inp, Lp=_bucket(inp["L"]),
-                               Rp=_bucket(inp["R"]))
+                               Rp=_bucket(inp["R"]),
+                               upper=upper, lower=lower)
     bp, final = sheared_fill(*args)
+    final = np.asarray(final)
+
+    if band is not None and not np.isfinite(final).any():
+        # anchored alignment failed: retry with the full matrix
+        args = shear_device_inputs(inp, Lp=_bucket(inp["L"]),
+                                   Rp=_bucket(inp["R"]))
+        bp, final = sheared_fill(*args)
+        final = np.asarray(final)
 
     cells = _ShearedCells(bp, left, right)
-    end = _end_corner_linear(np.asarray(final), left, right, model,
+    end = _end_corner_linear(final, left, right, model,
                              inp["L"], inp["R"])
     end.bwd_score = 1.0
     end.full_score = 1.0

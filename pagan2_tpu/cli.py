@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--noise", type=int, default=0)
     x.add_argument("--anchors", action="store_true", default=True)
     x.add_argument("--no-anchors", action="store_true")
+    x.add_argument("--use-prefix-anchors", action="store_true")
+    x.add_argument("--prefix-hit-length", type=int, default=30)
+    x.add_argument("--anchors-offset", type=int, default=15)
     return p
 
 
@@ -149,6 +152,10 @@ def make_settings(args):
     s = AlignSettings(
         no_terminal_edges=args.no_terminal_edges,
         reduced_terminal_gap_penalties=not args.no_reduced_terminal_penalties,
+        use_anchors=not args.no_anchors,
+        use_prefix_anchors=args.use_prefix_anchors,
+        prefix_hit_length=args.prefix_hit_length,
+        anchors_offset=args.anchors_offset,
     )
     if args.branch_length_confirm_insertion is not None:
         s = replace(s, max_allowed_skip_distance=args.branch_length_confirm_insertion)
@@ -194,6 +201,8 @@ def write_outputs(args, tree, alignment, data_type):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .io.fasta import read_sequences
+    from .utils import set_noise
+    set_noise(-1 if args.silent else args.noise)
 
     if args.pileup:
         if not args.queryfile:

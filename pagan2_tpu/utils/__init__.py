@@ -1,0 +1,1 @@
+from .log import log_out, set_noise, get_noise
