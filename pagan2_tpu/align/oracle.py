@@ -37,11 +37,13 @@ class MatrixPtr:
     x_edge_ind: int = -1
     y_edge_ind: int = -1
     matrix: int = -1
+    path_index: int = -1
 
     def copy(self) -> "MatrixPtr":
         return MatrixPtr(self.score, self.fwd_score, self.bwd_score,
                          self.full_score, self.x_ind, self.y_ind,
-                         self.x_edge_ind, self.y_edge_ind, self.matrix)
+                         self.x_edge_ind, self.y_edge_ind, self.matrix,
+                         self.path_index)
 
 
 @dataclass

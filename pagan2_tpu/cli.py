@@ -7,6 +7,7 @@ Usage:  python -m pagan2_tpu -s seqs.fas -t tree.nh -o out
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -86,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--terminal-nodes", action="store_true")
     r.add_argument("--internal-nodes", action="store_true")
     r.add_argument("--all-nodes", action="store_true")
+    r.add_argument("--one-placement-only", action="store_true")
+    r.add_argument("--align-bad-reads-at-root", action="store_true")
+    r.add_argument("--use-identity-score", action="store_true")
+    r.add_argument("--use-target-normalised-score", action="store_true")
+    r.add_argument("--output-discarded-queries", action="store_true")
 
     x = p.add_argument_group("execution")
     x.add_argument("--engine", default="auto",
@@ -204,6 +210,13 @@ def main(argv=None) -> int:
     from .utils import set_noise
     set_noise(-1 if args.silent else args.noise)
 
+    # honor JAX_PLATFORMS even though the sitecustomize axon registration
+    # overrides the env-var route (jax.config wins over both)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     if args.pileup:
         if not args.queryfile:
             print("--pileup requires -q/--queryfile", file=sys.stderr)
@@ -229,6 +242,58 @@ def main(argv=None) -> int:
         if not args.silent:
             print(f"pileup: {len(res.alignment)} rows, "
                   f"{len(res.discarded)} reads discarded -> {args.outfile}")
+        return 0
+
+    if args.ref_seqfile:
+        # read an existing alignment as aligned (Reference_alignment;
+        # main.cpp:181, node.h:909)
+        entries = read_sequences(args.ref_seqfile)
+        data_type = resolve_data_type(args, entries)
+        mf = make_model_factory(args, data_type, entries)
+        settings = make_settings(args)
+        if not args.ref_treefile:
+            print("--ref-seqfile requires --ref-treefile", file=sys.stderr)
+            return 1
+        tree_text = open(args.ref_treefile).read()
+        from .pipeline.refread import read_reference_alignment
+        res = read_reference_alignment(
+            entries, tree_text, data_type=data_type, settings=settings,
+            model_factory=mf)
+        if args.queryfile:
+            from .pipeline.placement import place_queries, PlacementConfig
+            queries = read_sequences(args.queryfile)
+            cfg = PlacementConfig(
+                min_query_overlap=args.min_query_overlap,
+                min_query_identity=args.min_query_identity,
+                both_strands=args.both_strands,
+                terminal_nodes=args.terminal_nodes,
+                internal_nodes=args.internal_nodes,
+                all_nodes=args.all_nodes,
+                query_distance=args.query_distance,
+                overlap_with_any=args.overlap_with_any,
+                one_placement_only=args.one_placement_only,
+                align_bad_reads_at_root=args.align_bad_reads_at_root,
+                use_identity_score=args.use_identity_score,
+                use_target_normalised_score=args.use_target_normalised_score)
+            outcome = place_queries(res, queries, data_type, cfg,
+                                    model_factory=mf, settings=settings)
+            res = outcome.result
+            if args.output_discarded_queries and outcome.discarded:
+                from .io.fasta import write_fasta
+                write_fasta(outcome.discarded,
+                            f"{args.outfile}.discarded")
+            if not args.silent:
+                print(f"placed {len(outcome.placed)} queries, "
+                      f"{len(outcome.discarded)} discarded")
+        if args.output_ancestors:
+            from .pipeline.progressive import extract_alignment
+            res.alignment[:] = extract_alignment(res.tree, True,
+                                                 data_type=data_type)
+        write_outputs(args, res.tree, res.alignment, data_type)
+        if not args.silent:
+            n = len(res.alignment)
+            l = len(res.alignment[0].sequence) if n else 0
+            print(f"alignment: {n} rows x {l} cols -> {args.outfile}")
         return 0
 
     if not args.seqfile:

@@ -89,6 +89,9 @@ class SequenceGraph:
         self.has_read_descendants = False
         self.num_duplicates = 1
         self.terminal_sequence = True
+        # full aligned row (with gaps) when built from / for a reference
+        # alignment (Sequence::gapped_seq, sequence.h:816)
+        self.gapped_seq: str | None = None
 
     # ------------------------------------------------------------------
     def num_sites(self) -> int:

@@ -41,12 +41,13 @@ class PileupResult:
 
 
 def _has_site_and_state(node: TreeNode, j: int, name: str):
-    """has_site_at_alignment_column / get_state_at_alignment_column:
-    descend child indices from the root column to the named node."""
+    """has_site_at_alignment_column / get_state_at_alignment_column
+    (node.h:1107-1138): descend child indices from the root column to
+    the named node — which may be internal (query placement targets)."""
     g = node.graph
+    if node.name == name:
+        return True, g.states[j]
     if node.is_leaf:
-        if node.name == name:
-            return True, g.states[j]
         return False, -2
     lj = g.child_l[j]
     rj = g.child_r[j]

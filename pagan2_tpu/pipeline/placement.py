@@ -1,0 +1,397 @@
+"""Query placement: add reads/queries onto an existing reference
+alignment + tree.
+
+Equivalent of Reads_aligner::query_placement_one
+(src/main/reads_aligner.cpp:623-911): per query, score candidate target
+nodes (read_match_score, :3467-3551 — a quick pairwise alignment and a
+substitution-score ratio), align the query against the best node's
+graph, accept by overlap/identity (read_alignment_scores, :3323-3466),
+splice a new parent into the tree and patch the old parent's child
+site indices (correct_sites_index, :3552-3675), re-estimate the local
+branch lengths (fix_branch_lengths, :1225-1336) and push parsimony
+states down one level (Node::reconstruct_one_parsimony_ancestor,
+node.h:1075-1105).
+
+The exonerate/NCBI-BLAST preselection subprocesses of the reference are
+replaced by scoring every candidate node with the same quick pairwise
+kernel (the reference's own fallback when exonerate is absent); the
+candidate set is controlled like the reference's --terminal-nodes /
+--internal-nodes / --all-nodes flags.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..graph.builders import build_leaf_graph, revcomp
+from ..io.fasta import FastaEntry, clean_sequence
+from ..models import ModelFactory, alphabets as alph
+from ..align import align_pair, AlignSettings
+from ..tree.newick import TreeNode
+from .pileup import read_alignment_scores
+from .progressive import ProgressiveResult, extract_alignment
+
+
+@dataclass
+class PlacementConfig:
+    min_query_overlap: float = 0.5    # --min-query-overlap
+    min_query_identity: float = 0.5   # --min-query-identity
+    query_distance: float = 0.1       # --query-distance
+    both_strands: bool = False
+    terminal_nodes: bool = False
+    internal_nodes: bool = False
+    all_nodes: bool = False
+    one_placement_only: bool = False
+    align_bad_reads_at_root: bool = False
+    overlap_with_any: bool = False
+    use_identity_score: bool = False          # --use-identity-score
+    use_target_normalised_score: bool = False  # --use-target-normalised-score
+    engine: str = "auto"
+
+
+@dataclass
+class PlacementOutcome:
+    result: ProgressiveResult
+    discarded: list[FastaEntry] = field(default_factory=list)
+    placed: list[str] = field(default_factory=list)
+
+
+def _node_sort_key(name: str):
+    """Reads_aligner::node_is_smaller: numeric-aware #N# ordering."""
+    m = re.fullmatch(r"#(\d+)#", name)
+    if m:
+        return (0, int(m.group(1)), name)
+    return (1, 0, name)
+
+
+def _candidate_names(tree: TreeNode, cfg: PlacementConfig) -> list[str]:
+    """get_target_node_names (reads_aligner.h): terminal / internal /
+    all candidate nodes (no TID tags: consider per flags, default all)."""
+    if cfg.internal_nodes:
+        nodes = [n for n in tree.nodes_postorder() if not n.is_leaf]
+    elif cfg.terminal_nodes:
+        nodes = list(tree.leaves())
+    else:
+        nodes = list(tree.nodes_postorder())
+    return [n.name for n in nodes]
+
+
+def _nodes_by_name(tree: TreeNode) -> dict[str, TreeNode]:
+    return {n.name: n for n in tree.nodes_postorder()}
+
+
+def _parent_of(tree: TreeNode, name: str) -> TreeNode | None:
+    for n in tree.nodes_postorder():
+        if not n.is_leaf and (n.left.name == name or n.right.name == name):
+            return n
+    return None
+
+
+def _read_match_score(target: TreeNode, read_graph, model, settings,
+                      cfg: PlacementConfig) -> float:
+    """read_match_score (reads_aligner.cpp:3467-3551): quick pairwise
+    alignment target-vs-read, then score_r = subst / max_subst_read
+    (or identity / target-normalised variants)."""
+    anc, _ = align_pair(target.graph, read_graph, model, settings,
+                        left_branch_length=0.001,
+                        right_branch_length=cfg.query_distance,
+                        is_reads_sequence=True, engine=cfg.engine)
+    lg, rg = target.graph, read_graph
+    matching = 0
+    subst = 0.0
+    max_l = 0.0
+    max_r = 0.0
+    for k in range(1, anc.num_sites() - 1):
+        lj = anc.child_l[k]
+        rj = anc.child_r[k]
+        if lj >= 0 and rj >= 0:
+            s_read = rg.states[rj]
+            s_tgt = lg.states[lj]
+            if s_read == s_tgt:
+                matching += 1
+            subst += model.score[s_tgt, s_read]
+            max_l += model.score[s_tgt, s_tgt]
+        if rj >= 0:
+            s_read = rg.states[rj]
+            max_r += model.score[s_read, s_read]
+    if cfg.use_identity_score:
+        return matching / max(rg.num_sites(), 1)
+    if cfg.use_target_normalised_score:
+        return subst / max_l if max_l else 0.0
+    return subst / max_r if max_r else 0.0
+
+
+def _correct_sites_index(new_node: TreeNode, ref_node_name: str,
+                         tree: TreeNode) -> bool:
+    """correct_sites_index (reads_aligner.cpp:3552-3675): splice
+    new_node in place of the node named ref_node_name and shift the
+    parent's child site indices by the number of read-insertion sites
+    preceding each referenced site."""
+    g = new_node.graph
+    # sites_index[k] = inserted sites immediately before the k-th
+    # target-matching site of the new graph (target is the left child)
+    sites_index = []
+    delta = 0
+    for j in range(g.num_sites()):
+        if g.child_l[j] >= 0:
+            sites_index.append(delta)
+            delta = 0
+        else:
+            delta += 1
+
+    parent = _parent_of(tree, ref_node_name)
+    if parent is None:
+        return False
+    is_left = parent.left.name == ref_node_name
+    if is_left:
+        parent.children[0] = new_node
+    else:
+        parent.children[1] = new_node
+
+    pg = parent.graph
+    child = pg.child_l if is_left else pg.child_r
+    first = 0
+    for j in range(1, pg.num_sites()):
+        ci = child[j]
+        if ci > 0:
+            first = ci
+            break
+    delta = sum(sites_index[:first])
+    for j in range(1, pg.num_sites()):
+        ci = child[j]
+        if ci >= 0:
+            delta += sites_index[ci]
+            child[j] = ci + delta
+    if delta > 0:
+        tree.site_index_corrected = True
+    return True
+
+
+def _fix_branch_lengths(tree: TreeNode, new_node: TreeNode,
+                        data_type: str):
+    """fix_branch_lengths (reads_aligner.cpp:1225-1336): re-estimate
+    the three local branch lengths from identity fractions in the
+    parent's subtree alignment."""
+    parent = _parent_of(tree, new_node.name)
+
+    def rows(sub: TreeNode) -> dict[str, str]:
+        entries = extract_alignment(sub, include_internal_nodes=True,
+                                    data_type=data_type)
+        return {e.name: e.sequence for e in entries}
+
+    if parent is not None:
+        r = rows(parent)
+        pnode = r.get(parent.name, "")
+        lnode = r.get(new_node.left.name, "")
+        rnode = r.get(new_node.right.name, "")
+        share12 = share13 = share23 = 0
+        ident12 = ident13 = ident23 = 0
+        for p, l, rr in zip(pnode, lnode, rnode):
+            if p not in "-.":
+                if l not in "-.":
+                    share12 += 1
+                    if p == l:
+                        ident12 += 1
+                if rr not in "-.":
+                    share13 += 1
+                    if p == rr:
+                        ident13 += 1
+            if l not in "-." and rr not in "-.":
+                share23 += 1
+                if l == rr:
+                    ident23 += 1
+        if not (share12 and share13 and share23):
+            return
+        d12 = 1 - ident12 / share12
+        d13 = 1 - ident13 / share13
+        d23 = 1 - ident23 / share23
+        l2 = 0.5 * d23 + 0.5 * (d12 - d13)
+        l3 = 0.5 * d23 + 0.5 * (d13 - d12)
+        l1 = 0.5 * (d12 + d13 - d23)
+        mult = 1.0
+        if (l1 + l2) > 0:
+            mult = (new_node.dist + new_node.left.dist) / (l1 + l2)
+        new_node.dist = l1 * mult
+        new_node.left.dist = l2 * mult
+        new_node.right.dist = l3 * mult
+    else:
+        r = rows(new_node)
+        lnode = r.get(new_node.left.name, "")
+        rnode = r.get(new_node.right.name, "")
+        share = ident = 0
+        for l, rr in zip(lnode, rnode):
+            if l not in "-." and rr not in "-.":
+                share += 1
+                if l == rr:
+                    ident += 1
+        if share:
+            d = (1 - ident / share) / 2
+            new_node.left.dist = d
+            new_node.right.dist = d
+
+
+def _reconstruct_one_parsimony(tree: TreeNode, new_node: TreeNode,
+                               mf: ModelFactory):
+    """Node::reconstruct_one_parsimony_ancestor (node.h:1075-1105):
+    after a splice, refine the new child's states one level down."""
+    parent = _parent_of(tree, new_node.name)
+    if parent is None or new_node.is_leaf:
+        return
+    alphabet = mf.alphabet
+    pg = parent.graph
+    cg = new_node.graph
+    is_left = parent.left.name == new_node.name
+    child = pg.child_l if is_left else pg.child_r
+    for i in range(1, pg.num_sites() - 1):
+        ci = child[i]
+        if ci >= 0:
+            cg.states[ci] = alphabet.child_parsimony[pg.states[i],
+                                                     cg.states[ci]]
+
+
+def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
+                  data_type: str, cfg: PlacementConfig | None = None,
+                  model_factory: ModelFactory | None = None,
+                  settings: AlignSettings | None = None
+                  ) -> PlacementOutcome:
+    """query_placement_one (reads_aligner.cpp:623-911)."""
+    cfg = cfg or PlacementConfig()
+    tree = res.tree
+    if model_factory is None:
+        model_factory = ModelFactory(data_type)
+    settings = (settings or AlignSettings()).for_reads()
+
+    compare_reverse = cfg.both_strands and data_type == alph.DNA
+    min_ov = max(cfg.min_query_overlap, 0.0)
+    min_id = max(cfg.min_query_identity, 0.0)
+    model = model_factory.alignment_model(0.001 + cfg.query_distance)
+
+    count = sum(1 for _ in tree.nodes_postorder()) + 1
+    single_ref = tree.is_leaf or tree.num_leaves() == 1
+    discarded: list[FastaEntry] = []
+    placed: list[str] = []
+    name_counts: dict[str, int] = {}
+
+    def read_leaf(entry: FastaEntry, rc: bool) -> TreeNode:
+        seq = clean_sequence(entry.sequence, data_type)
+        n = TreeNode(name=entry.name, dist=cfg.query_distance)
+        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=rc)
+        n.graph.is_read_sequence = True
+        return n
+
+    for entry in queries:
+        nodes_map = _nodes_by_name(tree)
+        # ---- target selection (find_nodes_for_query, :1996-2278) ----
+        cand = _candidate_names(tree, cfg)
+        best_score = -float("inf")
+        best_nodes: list[str] = []
+        best_strand_rev = False
+        fwd_graph = read_leaf(entry, False).graph
+        rc_graph = read_leaf(entry, True).graph if compare_reverse else None
+        if len(cand) == 1:
+            best_nodes = [cand[0]]
+            best_score = 1.0
+        else:
+            for name in cand:
+                t = nodes_map[name]
+                sc = _read_match_score(t, fwd_graph, model, settings, cfg)
+                if sc == best_score and not cfg.one_placement_only:
+                    best_nodes.append(name)
+                elif sc >= best_score:
+                    best_score = sc
+                    best_nodes = [name]
+                    best_strand_rev = False
+                if rc_graph is not None:
+                    sc = _read_match_score(t, rc_graph, model, settings,
+                                           cfg)
+                    if sc == best_score and not cfg.one_placement_only:
+                        best_nodes.append(name)
+                    elif sc >= best_score:
+                        best_score = sc
+                        best_nodes = [name]
+                        best_strand_rev = True
+            if best_score < 0.05:
+                # "aligns with less than 5% of identical sites"
+                if cfg.align_bad_reads_at_root:
+                    best_nodes = [tree.name]
+                else:
+                    discarded.append(entry)
+                    continue
+
+        # ---- per target node: align, accept, splice ----
+        accepted_any = False
+        for ref_node_name in sorted(set(best_nodes), key=_node_sort_key):
+            target = _nodes_by_name(tree).get(ref_node_name)
+            if target is None:
+                continue
+            orig_dist = target.dist
+
+            def try_strand(rc: bool):
+                rnode = read_leaf(entry, rc)
+                node = TreeNode(name=f"#{count}#",
+                                children=[target, rnode])
+                node.left.dist = 0.001
+                anc, _ = align_pair(target.graph, rnode.graph, model,
+                                    settings, left_branch_length=0.001,
+                                    right_branch_length=cfg.query_distance,
+                                    is_reads_sequence=True,
+                                    engine=cfg.engine)
+                anc.is_read_sequence = True
+                anc.has_read_descendants = True
+                node.graph = anc
+                ov, ident = read_alignment_scores(
+                    node, entry.name, ref_node_name,
+                    overlap_with_any=cfg.overlap_with_any)
+                return node, ov, ident
+
+            # strand chosen during target scoring skips the other
+            # alignment (query_strand, reads_aligner.cpp:727-750)
+            node, ov, ident = (None, -1.0, -1.0)
+            if not (compare_reverse and best_strand_rev):
+                node, ov, ident = try_strand(False)
+            node_rc, ov_rc, ident_rc = (None, -1.0, -1.0)
+            if compare_reverse and (best_strand_rev or len(cand) == 1):
+                node_rc, ov_rc, ident_rc = try_strand(True)
+
+            if ov > ov_rc and ov > min_ov and ident > min_id:
+                new_node = node
+            elif ov_rc > min_ov and ident_rc > min_id:
+                new_node = node_rc
+            else:
+                # restore and reject
+                target.dist = orig_dist
+                continue
+
+            count += 1
+            accepted_any = True
+            if orig_dist > new_node.dist:
+                orig_dist -= new_node.dist
+            # unique read names for repeated placements
+            n_seen = name_counts.get(entry.name, 0)
+            if n_seen:
+                new_node.right.name = f"{entry.name}.{n_seen}"
+            name_counts[entry.name] = n_seen + 1
+            new_node.dist = orig_dist
+
+            if single_ref or ref_node_name == tree.name:
+                new_node.site_index_corrected = getattr(
+                    tree, "site_index_corrected", False)
+                tree = new_node
+                single_ref = False
+            else:
+                if not _correct_sites_index(new_node, ref_node_name, tree):
+                    new_node.site_index_corrected = getattr(
+                        tree, "site_index_corrected", False)
+                    tree = new_node
+            _fix_branch_lengths(tree, new_node, data_type)
+            parent = _parent_of(tree, new_node.name)
+            if parent is not None:
+                _reconstruct_one_parsimony(tree, new_node, model_factory)
+            placed.append(new_node.right.name)
+
+        if not accepted_any:
+            discarded.append(entry)
+
+    alignment = extract_alignment(tree, False, data_type=data_type)
+    out = ProgressiveResult(tree=tree, alignment=alignment)
+    return PlacementOutcome(result=out, discarded=discarded, placed=placed)

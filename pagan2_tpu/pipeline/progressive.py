@@ -104,10 +104,27 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
 
 
 # ----------------------------------------------------------------------
+@dataclass
+class _Insertion:
+    """Insertion_at_node (node.h): a child site not referenced by its
+    parent's columns (query placement inserts these)."""
+    node_name: str
+    site: int
+    left_child: bool
+
+
 def extract_alignment(tree: TreeNode, include_internal_nodes=False,
-                      data_type: str = "dna") -> list[FastaEntry]:
+                      data_type: str = "dna",
+                      insertion_aware: bool | None = None
+                      ) -> list[FastaEntry]:
     """Node::get_alignment (node.cpp:537-624): walk root columns and
-    recursively expand child columns."""
+    recursively expand child columns. When a placement splice shifted
+    site indices (Node::sequence_site_index_needs_correcting), use the
+    insertion-aware path (node.cpp:578-624) that re-expands child sites
+    skipped by the parent (additional_sites_before_alignment_column,
+    node.cpp:976-1059)."""
+    if insertion_aware is None:
+        insertion_aware = getattr(tree, "site_index_corrected", False)
     if include_internal_nodes:
         nodes = list(tree.nodes_inorder())
     else:
@@ -145,13 +162,92 @@ def extract_alignment(tree: TreeNode, include_internal_nodes=False,
                  else 2 * node.right.num_leaves() - 1)
             out.extend([g.gap_symbol] * k)
 
+    def additional_sites_before(node: TreeNode, j: int,
+                                additions: list[_Insertion]):
+        """additional_sites_before_alignment_column (node.cpp:976-1059)."""
+        if node.is_leaf:
+            return
+        g = node.graph
+        lj = g.child_l[j]
+        rj = g.child_r[j]
+        if j > 0:
+            prev_lj = -1
+            jj = j
+            while jj > 0:
+                prev_lj = g.child_l[jj - 1]
+                if prev_lj >= 0:
+                    break
+                jj -= 1
+            prev_rj = -1
+            jj = j
+            while jj > 0:
+                prev_rj = g.child_r[jj - 1]
+                if prev_rj >= 0:
+                    break
+                jj -= 1
+            if lj > 0 and prev_lj >= 0 and lj - prev_lj != 1:
+                for k in range(prev_lj + 1, lj):
+                    additional_sites_before(node.left, k, additions)
+                    additions.append(_Insertion(node.name, k, True))
+            if rj > 0 and prev_rj >= 0 and rj - prev_rj != 1:
+                for k in range(prev_rj + 1, rj):
+                    additional_sites_before(node.right, k, additions)
+                    additions.append(_Insertion(node.name, k, False))
+        if lj >= 0:
+            additional_sites_before(node.left, lj, additions)
+        if rj >= 0:
+            additional_sites_before(node.right, rj, additions)
+
+    def columns_before(node: TreeNode, ins: _Insertion, out: list):
+        """get_multiple_alignment_columns_before (node.cpp:835-889):
+        a full-tree column that is all gaps except in the subtree that
+        owns the inserted site."""
+        if node.is_leaf:
+            out.append(node.graph.gap_symbol)
+            return
+        g = node.graph
+        if node.name == ins.node_name:
+            if ins.left_child:
+                column_at(node.left, ins.site, out)
+                if include_internal_nodes:
+                    out.append(g.gap_symbol)
+                columns_before(node.right, ins, out)
+            else:
+                columns_before(node.left, ins, out)
+                if include_internal_nodes:
+                    out.append(g.gap_symbol)
+                column_at(node.right, ins.site, out)
+        else:
+            columns_before(node.left, ins, out)
+            if include_internal_nodes:
+                out.append(g.gap_symbol)
+            columns_before(node.right, ins, out)
+
     # NOTE: non_real (deleted-range) sites still emit columns — deletion
     # only severs graph edges (node.cpp:557-577 iterates all root sites)
-    for j in range(1, root.num_sites() - 1):
-        col: list[str] = []
-        column_at(tree, j, col)
-        for r, ch in zip(rows, col):
-            r.append(ch)
+    if not insertion_aware:
+        for j in range(1, root.num_sites() - 1):
+            col: list[str] = []
+            column_at(tree, j, col)
+            for r, ch in zip(rows, col):
+                r.append(ch)
+    else:
+        for j in range(1, root.num_sites()):
+            additions: list[_Insertion] = []
+            additional_sites_before(tree, j, additions)
+            for ins in additions:
+                col: list[str] = []
+                if tree.is_leaf:
+                    col.append(tree.graph.gap_symbol)
+                else:
+                    columns_before(tree, ins, col)
+                for r, ch in zip(rows, col):
+                    r.append(ch)
+            if j < root.num_sites() - 1:
+                col = []
+                column_at(tree, j, col)
+                for r, ch in zip(rows, col):
+                    r.append(ch)
 
     for e, r in zip(entries, rows):
         e.sequence = "".join(r)

@@ -1,0 +1,116 @@
+"""Reference-alignment ingestion (Reference_alignment) and query
+placement (Reads_aligner::query_placement_one) tests."""
+import pytest
+
+from pagan2_tpu.io.fasta import FastaEntry
+from pagan2_tpu.pipeline.progressive import align_progressive
+from pagan2_tpu.pipeline.refread import read_reference_alignment
+from pagan2_tpu.pipeline.placement import (place_queries, PlacementConfig)
+
+TREE = "((a:0.1,b:0.2):0.05,(c:0.15,d:0.1):0.1);"
+SEQS = [
+    FastaEntry("a", "ACGTACGTGGACTTACGT"),
+    FastaEntry("b", "ACGTACGGACTTAGGT"),
+    FastaEntry("c", "ACGTATGTGGACTTACGA"),
+    FastaEntry("d", "ACCTACGTGGATTTACGT"),
+]
+
+
+def _aligned_rows():
+    res = align_progressive(SEQS, TREE, data_type="dna")
+    return [FastaEntry(e.name, e.sequence) for e in res.alignment]
+
+
+def test_refread_roundtrip():
+    rows = _aligned_rows()
+    res = read_reference_alignment(rows, TREE, data_type="dna")
+    got = {e.name: e.sequence for e in res.alignment}
+    want = {e.name: e.sequence for e in rows}
+    assert got == want
+
+
+def test_refread_rejects_ragged():
+    rows = _aligned_rows()
+    rows[0].sequence = rows[0].sequence + "A"
+    with pytest.raises(ValueError):
+        read_reference_alignment(rows, TREE, data_type="dna")
+
+
+def test_refread_builds_internal_graphs():
+    rows = _aligned_rows()
+    res = read_reference_alignment(rows, TREE, data_type="dna")
+    for n in res.tree.nodes_postorder():
+        assert n.graph is not None
+        assert n.graph.gapped_seq is not None
+
+
+def test_placement_exact_query():
+    rows = _aligned_rows()
+    ref = read_reference_alignment(rows, TREE, data_type="dna")
+    out = place_queries(ref, [FastaEntry("q", "ACGTACGTGGACTTACGT")],
+                        "dna", PlacementConfig(one_placement_only=True))
+    assert "q" in out.placed
+    got = {e.name: e.sequence for e in out.result.alignment}
+    assert got["q"].replace("-", "") == "ACGTACGTGGACTTACGT"
+    lengths = {len(s) for s in got.values()}
+    assert len(lengths) == 1
+
+
+def test_placement_query_with_insertion():
+    """A read insertion must add columns to the global alignment
+    (additional_sites_before_alignment_column, node.cpp:976-1059)."""
+    rows = _aligned_rows()
+    width = len(rows[0].sequence)
+    ref = read_reference_alignment(rows, TREE, data_type="dna")
+    out = place_queries(ref, [FastaEntry("q", "ACGTACGTAAAGGACTTACGT")],
+                        "dna", PlacementConfig(one_placement_only=True))
+    assert "q" in out.placed
+    got = {e.name: e.sequence for e in out.result.alignment}
+    lengths = {len(s) for s in got.values()}
+    assert len(lengths) == 1
+    assert lengths.pop() == width + 3
+    assert got["q"].replace("-", "") == "ACGTACGTAAAGGACTTACGT"
+    # reference rows keep their relative alignment
+    assert got["a"].replace("-", "") == "ACGTACGTGGACTTACGT"
+
+
+def test_placement_discards_garbage():
+    rows = _aligned_rows()
+    ref = read_reference_alignment(rows, TREE, data_type="dna")
+    out = place_queries(ref, [FastaEntry("junk", "TTTTTTTTTTTTTTTTTT")],
+                        "dna", PlacementConfig(one_placement_only=True))
+    assert [e.name for e in out.discarded] == ["junk"] or \
+        "junk" not in {e.name for e in out.result.alignment}
+
+
+def test_placement_both_strands():
+    rows = _aligned_rows()
+    ref = read_reference_alignment(rows, TREE, data_type="dna")
+    # reverse complement of a's sequence
+    rc = "ACGTAAGTCCACGTACGT"[::-1].translate(
+        str.maketrans("ACGT", "TGCA"))[::-1]
+    # build actual revcomp of a
+    seq = "ACGTACGTGGACTTACGT"
+    rc = seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    out = place_queries(ref, [FastaEntry("q", rc)], "dna",
+                        PlacementConfig(one_placement_only=True,
+                                        both_strands=True))
+    assert "q" in out.placed
+
+
+def test_placement_terminal_nodes_only():
+    rows = _aligned_rows()
+    ref = read_reference_alignment(rows, TREE, data_type="dna")
+    out = place_queries(ref, [FastaEntry("q", "ACGTACGTGGACTTACGT")],
+                        "dna",
+                        PlacementConfig(one_placement_only=True,
+                                        terminal_nodes=True))
+    assert "q" in out.placed
+    # the read's sibling must be a leaf
+    tree = out.result.tree
+    for n in tree.nodes_postorder():
+        if not n.is_leaf and n.right.name == "q":
+            assert n.left.is_leaf
+            break
+    else:
+        pytest.fail("q not found in tree")
