@@ -3,11 +3,21 @@ from .oracle import PairAligner, PathPtr, MatrixPtr
 from .ancestral import build_ancestral_graph
 from ..utils import log_out
 
+_RNG = None
+
+
+def set_sampling_seed(seed):
+    """Seed the path-sampling RNG (the reference seeds rand() with
+    time(0), main.cpp:92; a fixed seed makes runs reproducible)."""
+    global _RNG
+    import numpy as np
+    _RNG = np.random.default_rng(seed)
+
 
 def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                right_branch_length=0.0, is_reads_sequence=False,
                engine="auto", compute_consensus=False, band=None,
-               use_anchors=None, anchor_min_sites=None):
+               use_anchors=None, anchor_min_sites=None, rng=None):
     """Align two sequence graphs and build the ancestral graph.
 
     engine: "oracle" (host loops, ground truth), "jax" (vectorized
@@ -24,6 +34,37 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
     settings = settings or AlignSettings()
     if is_reads_sequence:
         settings = settings.for_reads()
+
+    sampling = settings.sample_path or settings.sample_additional_paths > 0
+    if sampling and not settings.compute_full_score:
+        # sampling draws from fwd probabilities (basic_alignment.h:621-625)
+        from dataclasses import replace
+        settings = replace(settings, compute_full_score=True)
+    if sampling:
+        import numpy as np
+        rng = rng or _RNG or np.random.default_rng()
+        aligner = PairAligner(left, right, model, settings,
+                              left_branch_length, right_branch_length)
+        end = aligner.fill()
+        if settings.sample_path:
+            path, _send = aligner.sample_path(rng)
+        else:
+            path = aligner._backtrack(PathPtr(end, True))
+        anc = build_ancestral_graph(left, right, path, model, settings,
+                                    left_branch_length, right_branch_length,
+                                    is_reads_sequence,
+                                    compute_consensus=compute_consensus)
+        if settings.sample_additional_paths > 0:
+            from .sampling import merge_sampled_graph
+            for _ in range(settings.sample_additional_paths):
+                spath, _ = aligner.sample_path(rng)
+                sg = build_ancestral_graph(
+                    left, right, spath, model, settings,
+                    left_branch_length, right_branch_length,
+                    is_reads_sequence)
+                merge_sampled_graph(anc, sg)
+        return anc, end
+
     if use_anchors is None:
         use_anchors = settings.use_anchors
     if anchor_min_sites is None:

@@ -379,9 +379,308 @@ class PairAligner:
                     mx.x_ind = self.L - 1
         return mx
 
+    # -- bwd full probability (viterbi_alignment.cpp:329-371) ----------
+    def _init_bwd_corner(self):
+        """initialise_array_corner_bwd (viterbi_alignment.cpp:740-830):
+        seed bwd at every bwd-edge pair of the two stop sites."""
+        m = self.model
+        self.M[self.L - 1][self.R - 1].bwd_score = m.non_gap()
+        lb = self.left.bwd[self.L]
+        rb = self.right.bwd[self.R]
+        if lb and rb:
+            for le in lb:
+                for re in rb:
+                    li = self.left.edges.start[le]
+                    ri = self.right.edges.start[re]
+                    self.M[li][ri].bwd_score = (
+                        m.non_gap() * self.left_w[le] * self.right_w[re])
+
+    def _compute_bwd_full_score(self, i: int, j: int):
+        """compute_bwd_full_score (viterbi_alignment.cpp:975-1027) using
+        the fwd-edge kernels (:1571-1686, 2259-2305)."""
+        m = self.model
+        if i == self.L and j == self.R:
+            return
+        max_x = self.X[i][j]
+        max_y = self.Y[i][j]
+        max_m = self.M[i][j]
+
+        if i < self.L:
+            for e in self.left.fwd[i]:
+                nxt = self.left.edges.end[e]
+                if nxt < self.L:
+                    xb = self.X[nxt][j].bwd_score
+                    max_x.bwd_score += xb * m.ext_prob
+                    max_y.bwd_score += xb * m.gap_close() * m.gap_open()
+                    max_m.bwd_score += xb * m.non_gap() * m.gap_open()
+        if j < self.R:
+            for e in self.right.fwd[j]:
+                nxt = self.right.edges.end[e]
+                if nxt < self.R:
+                    yb = self.Y[i][nxt].bwd_score
+                    max_y.bwd_score += yb * m.ext_prob
+                    max_x.bwd_score += yb * m.gap_close() * m.gap_open()
+                    max_m.bwd_score += yb * m.non_gap() * m.gap_open()
+        if i < self.L and j < self.R:
+            # score_match_bwd: match score is taken at the *target* cell
+            for le in self.left.fwd[i]:
+                lp = self.left.edges.end[le]
+                if lp >= self.L:
+                    continue
+                for re in self.right.fwd[j]:
+                    rp = self.right.edges.end[re]
+                    if rp >= self.R:
+                        continue
+                    ms = m.score[self.left.states[lp],
+                                 self.right.states[rp]]
+                    t = (self.M[lp][rp].bwd_score * ms *
+                         self.left_w[le] * self.right_w[re])
+                    max_x.bwd_score += t * m.gap_close() * m.non_gap()
+                    max_y.bwd_score += t * m.gap_close() * m.non_gap()
+                    max_m.bwd_score += t * m.non_gap() * m.non_gap()
+
+    def compute_bwd_posterior(self, end: MatrixPtr):
+        """Backward pass + per-cell posterior full_score = fwd*bwd/total
+        with the fwd/bwd 1% consistency check
+        (viterbi_alignment.cpp:327-371, 1029-1034)."""
+        from ..utils import log_out
+        self._init_bwd_corner()
+        for j in range(self.R - 1, -1, -1):
+            for i in range(self.L - 1, -1, -1):
+                self._compute_bwd_full_score(i, j)
+        total = end.fwd_score
+        bwd_total = self.M[0][0].bwd_score
+        self.bwd_full_probability = bwd_total
+        ratio = total / bwd_total if bwd_total else 0.0
+        if ratio < 0.99 or ratio > 1.01:
+            log_out("Problem in computation? fwd: %g, bwd: %g"
+                    % (total, bwd_total), 1)
+        for j in range(self.R):
+            for i in range(self.L):
+                for mat in (self.M, self.X, self.Y):
+                    c = mat[i][j]
+                    c.full_score = c.fwd_score * c.bwd_score / total
+
+    # -- stochastic backtrack (viterbi_alignment.cpp:1193-1322) --------
+    def _draw(self, cands: list[MatrixPtr], rng) -> MatrixPtr:
+        total = sum(c.score for c in cands)
+        r = total * rng.random()
+        acc = 0.0
+        for c in cands:
+            acc += c.score
+            if acc >= r:
+                return c
+        return cands[-1]
+
+    def _sampled_end_corner(self, rng) -> MatrixPtr:
+        """iterate_bwd_edges_for_sampled_end_corner
+        (viterbi_alignment.cpp:1908-2028)."""
+        m = self.model
+        lb = self.left.bwd[self.L]
+        rb = self.right.bwd[self.R]
+        cands: list[MatrixPtr] = []
+
+        def add_m(le, re):
+            li = self.left.edges.start[le]
+            ri = self.right.edges.start[re]
+            sc = (self.M[li][ri].fwd_score * m.non_gap() *
+                  self.left_w[le] * self.right_w[re])
+            cands.append(MatrixPtr(score=sc, x_ind=li, y_ind=ri,
+                                   x_edge_ind=le, y_edge_ind=re,
+                                   matrix=M_MAT))
+
+        def add_close(e, is_x):
+            prev = (self.left if is_x else self.right).edges.start[e]
+            w = (self.left_w if is_x else self.right_w)[e]
+            if is_x:
+                sc = self.X[prev][self.R - 1].fwd_score * m.gap_close() * w
+                cands.append(MatrixPtr(score=sc, x_ind=prev,
+                                       y_ind=self.R - 1, x_edge_ind=e,
+                                       matrix=X_MAT))
+            else:
+                sc = self.Y[self.L - 1][prev].fwd_score * m.gap_close() * w
+                cands.append(MatrixPtr(score=sc, x_ind=self.L - 1,
+                                       y_ind=prev, y_edge_ind=e,
+                                       matrix=Y_MAT))
+
+        le0, re0 = lb[0], rb[0]
+        add_m(le0, re0)
+        add_close(le0, True)
+        add_close(re0, False)
+        for re in rb[1:]:
+            add_m(le0, re)
+            add_close(re, False)
+        for le in lb[1:]:
+            add_m(le, re0)
+            add_close(le, True)
+            for re in rb[1:]:
+                add_m(le, re)
+                add_close(re, False)
+        return self._draw(cands, rng).copy()
+
+    def _sampled_match(self, i: int, j: int, rng) -> MatrixPtr:
+        """iterate_bwd_edges_for_sampled_match
+        (viterbi_alignment.cpp:1781-1905)."""
+        m = self.model
+        ms = m.score[self.left.states[i], self.right.states[j]]
+        m_match = m.non_gap() * m.non_gap() * ms
+        z_match = m.gap_close() * m.non_gap() * ms
+        cands: list[MatrixPtr] = []
+
+        def add(le, re):
+            li = self.left.edges.start[le]
+            ri = self.right.edges.start[re]
+            w = self.left_w[le] * self.right_w[re]
+            for mat, mp_mat, fac in ((self.M, M_MAT, m_match),
+                                     (self.X, X_MAT, z_match),
+                                     (self.Y, Y_MAT, z_match)):
+                sc = mat[li][ri].fwd_score * fac * w
+                cands.append(MatrixPtr(score=sc, x_ind=li, y_ind=ri,
+                                       x_edge_ind=le, y_edge_ind=re,
+                                       matrix=mp_mat))
+
+        lb = self.left.bwd[i]
+        rb = self.right.bwd[j]
+        le0, re0 = lb[0], rb[0]
+        add(le0, re0)
+        for re in rb[1:]:
+            add(le0, re)
+        for le in lb[1:]:
+            add(le, re0)
+            for re in rb[1:]:
+                add(le, re)
+        sp = self._draw(cands, rng).copy()
+        cell = self.M[i][j]
+        sp.fwd_score = cell.fwd_score
+        sp.bwd_score = cell.bwd_score
+        sp.full_score = cell.full_score
+        return sp
+
+    def _sampled_gap(self, i: int, j: int, is_x: bool, rng) -> MatrixPtr:
+        """iterate_bwd_edges_for_sampled_gap
+        (viterbi_alignment.cpp:1664-1779, 2360-2425)."""
+        m = self.model
+        cands: list[MatrixPtr] = []
+        if is_x:
+            seq, w = self.left, self.left_w
+            Z = _ColView(self.X, j)
+            W = _ColView(self.Y, j)
+            Mm = _ColView(self.M, j)
+            site = i
+        else:
+            seq, w = self.right, self.right_w
+            Z = self.Y[i]
+            W = self.X[i]
+            Mm = self.M[i]
+            site = j
+
+        def mk(sc, prev, mat, e):
+            mp = MatrixPtr(score=sc, matrix=mat)
+            if is_x:
+                mp.x_ind = prev
+                mp.x_edge_ind = e
+            else:
+                mp.y_ind = prev
+                mp.y_edge_ind = e
+            cands.append(mp)
+
+        for e in seq.bwd[site]:
+            prev = seq.edges.start[e]
+            mk(Z[prev].fwd_score * m.ext_prob * w[e], prev,
+               X_MAT if is_x else Y_MAT, e)
+            mk(W[prev].fwd_score * m.gap_close() * m.gap_open() * w[e],
+               prev, Y_MAT if is_x else X_MAT, e)
+            mk(Mm[prev].fwd_score * m.non_gap() * m.gap_open() * w[e],
+               prev, M_MAT, e)
+        sp = self._draw(cands, rng).copy()
+        cell = (self.X if is_x else self.Y)[i][j]
+        sp.fwd_score = cell.fwd_score
+        sp.bwd_score = cell.bwd_score
+        sp.full_score = cell.full_score
+        if is_x:
+            sp.y_ind = j
+        else:
+            sp.x_ind = i
+        return sp
+
+    def sample_path(self, rng):
+        """sample_new_path (viterbi_alignment.cpp:1193-1322): stochastic
+        backtrack drawing each move proportional to fwd probability."""
+        end = self._sampled_end_corner(rng)
+        end.bwd_score = 1.0
+        end.full_score = 1.0
+        fp = PathPtr(end, True)
+
+        stack: list[PathPtr] = []
+        left, right = self.left, self.right
+        vit_mat = fp.mp.matrix
+        x_ind = fp.mp.x_ind
+        y_ind = fp.mp.y_ind
+        if fp.mp.x_edge_ind >= 0:
+            left.edges.used[fp.mp.x_edge_ind] = True
+        if fp.mp.y_edge_ind >= 0:
+            right.edges.used[fp.mp.y_edge_ind] = True
+
+        ij = [self.L - 1, self.R - 1]
+
+        def insert_preexisting_gap(x_ind, y_ind):
+            while x_ind < ij[0]:
+                self._push_gap(stack, ij[0] - 1, ij[1], X_MAT,
+                               self.left_branch_length)
+                ij[0] -= 1
+            while y_ind < ij[1]:
+                self._push_gap(stack, ij[0], ij[1] - 1, Y_MAT,
+                               self.right_branch_length)
+                ij[1] -= 1
+
+        def insert_pp(pp):
+            if ij[0] > 0 or ij[1] > 0:
+                stack.append(pp)
+
+        insert_preexisting_gap(x_ind, y_ind)
+        insert_pp(fp)
+
+        while True:
+            i, j = ij
+            if vit_mat == M_MAT:
+                bwd_p = self._sampled_match(i, j, rng)
+                vit_mat = bwd_p.matrix
+                x_ind = bwd_p.x_ind
+                y_ind = bwd_p.y_ind
+                left.edges.used[bwd_p.x_edge_ind] = True
+                right.edges.used[bwd_p.y_edge_ind] = True
+                pp = PathPtr(bwd_p, True)
+                ij[0] -= 1
+                ij[1] -= 1
+            elif vit_mat == X_MAT:
+                bwd_p = self._sampled_gap(i, j, True, rng)
+                vit_mat = bwd_p.matrix
+                x_ind = bwd_p.x_ind
+                y_ind = bwd_p.y_ind
+                left.edges.used[bwd_p.x_edge_ind] = True
+                pp = PathPtr(bwd_p, True)
+                ij[0] -= 1
+            elif vit_mat == Y_MAT:
+                bwd_p = self._sampled_gap(i, j, False, rng)
+                vit_mat = bwd_p.matrix
+                x_ind = bwd_p.x_ind
+                y_ind = bwd_p.y_ind
+                right.edges.used[bwd_p.y_edge_ind] = True
+                pp = PathPtr(bwd_p, True)
+                ij[1] -= 1
+            else:
+                raise RuntimeError(f"incorrect sampled pointer {vit_mat}")
+            insert_preexisting_gap(x_ind, y_ind)
+            insert_pp(pp)
+            if ij[0] < 1 and ij[1] < 1:
+                break
+
+        return stack[::-1], end
+
     # -- public -------------------------------------------------------
-    def align(self):
-        """Fill + corner + backtrack. Returns (path, end_ptr)."""
+    def fill(self):
+        """Forward fill + end corner (+ bwd/posterior when full score is
+        on). Returns the end-corner pointer."""
         # cache edge weights as float32-rounded logs (Edge stores both)
         ew = self.left.edges.weight
         self.left_logw = [float(np.float32(np.log(np.float64(w)))) for w in ew]
@@ -400,6 +699,13 @@ class PairAligner:
         end = self._end_corner()
         end.bwd_score = 1.0
         end.full_score = 1.0
+        if self.s.compute_full_score:
+            self.compute_bwd_posterior(end)
+        return end
+
+    def align(self):
+        """Fill + corner + backtrack. Returns (path, end_ptr)."""
+        end = self.fill()
         path = self._backtrack(PathPtr(end, True))
         return path, end
 

@@ -25,6 +25,7 @@ class AlignSettings:
     edges_for_skipped_flanked_by_gaps: bool = False
     pair_end_reads: bool = False
     sample_path: bool = False
+    sample_additional_paths: int = 0
     # anchoring (--no-anchors / --use-prefix-anchors; node.cpp:87-152).
     # The reference anchors every pair; we gate by size since tiny
     # matrices are cheaper than anchor discovery.

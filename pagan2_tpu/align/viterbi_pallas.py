@@ -1,0 +1,320 @@
+"""Pallas TPU kernel for the sheared wavefront pair DP.
+
+Same recurrences, candidate order, and strict first-wins tie-breaking as
+viterbi_sheared.batched_sheared_core (the reference's cell kernels,
+viterbi_alignment.cpp:1328-1436: gap = ext, double, open; match = m, x,
+y), but hand-scheduled for the TPU VPU:
+
+- the whole wavefront state (two generations of M/X/Y row vectors)
+  lives in VMEM scratch across the grid, so the only HBM traffic is the
+  pre-folded match-score diagonals streaming in (4 B/cell) and packed
+  int8 backpointers streaming out (1 B/cell);
+- per-column penalty rows (gap-ext / gap-open at terminals) are
+  reconstructed from lane/diagonal index compares instead of being
+  streamed, because they are constant except at j in {0, R-1};
+- candidates are evaluated at their *source* lanes and the winning
+  value/backpointer is rolled one lane, which needs 1 roll per matrix
+  instead of 3 shifted source copies;
+- match scores are pre-folded with the edge log-weights and log-non-gap
+  (ms_f = ms + lw[i] + rw[j] + log_non_gap) so the M update is a single
+  add in the loop.
+
+Layout: batch B on sublanes, left sites Lp on lanes, one anti-diagonal
+per inner step; grid steps process TD diagonals per streamed block.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .settings import AlignSettings
+from .oracle import PathPtr
+from .viterbi_sheared import (prepare_sheared, _shear, _bucket,
+                              _ShearedCells, _end_corner_linear, NEG)
+
+# set to True to run the kernel in interpreter mode (CPU tests)
+INTERPRET = False
+
+
+def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
+            ms_ref, bp_ref, fM_ref, fX_ref, fY_ref, st_ref):
+    B, Lp = gexti_ref.shape
+    f = ms_ref.dtype
+    neg = jnp.array(NEG, f)
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _init():
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1) == 0
+        allneg = jnp.full((B, Lp), neg, f)
+        # generation d=0: M(0,0)=0 at lane 0, everything else -inf
+        st_ref[0, 0] = jnp.where(lane0, jnp.zeros((B, Lp), f), allneg)
+        st_ref[0, 1] = allneg
+        st_ref[0, 2] = allneg
+        # generation d=-1
+        st_ref[1, 0] = allneg
+        st_ref[1, 1] = allneg
+        st_ref[1, 2] = allneg
+        fM_ref[:] = allneg
+        fX_ref[:] = allneg
+        fY_ref[:] = allneg
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    pgt0 = lane > 0
+    gext = fscal_ref[:, 0:1]
+    gend = fscal_ref[:, 1:2]
+    lgo = fscal_ref[:, 2:3]
+    lng = fscal_ref[:, 3:4]
+    orp0 = fscal_ref[:, 4:5]
+    Rdp = iscal_ref[:, 0:1]
+    cornerd = iscal_ref[:, 1:2]
+    vlo = vlo_ref[:]
+    vhi = vhi_ref[:]
+    gexti = gexti_ref[:]
+    ol = ol_ref[:]
+
+    def body(t, _):
+        d = 1 + blk * TD + t
+        sl1 = (d - 1) & 1           # generation d-1
+        sl2 = d & 1                 # generation d-2 (overwritten with d)
+        m1 = st_ref[sl1, 0]
+        x1 = st_ref[sl1, 1]
+        y1 = st_ref[sl1, 2]
+        m2 = st_ref[sl2, 0]
+        x2 = st_ref[sl2, 1]
+        y2 = st_ref[sl2, 2]
+
+        jsrc = (d - 1) - lane       # source column on generation d-1
+        jt = jsrc + 1               # target column j = d - lane
+
+        t1 = m1 + lng
+        # X candidates at source lane i-1 (ext, double, open);
+        # gap-ext uses gext_j[j] which is gend only at j in {0, R-1}
+        gj = jnp.where((jsrc == 0) | (jsrc == Rdp - 1), gend, gext)
+        cx0 = x1 + gj
+        cx1 = y1 + lgo
+        cx2 = t1 + ol
+        v01 = jnp.maximum(cx0, cx1)
+        b01 = jnp.where(cx1 > cx0, 1, 0)
+        xc = jnp.maximum(v01, cx2)
+        bpx = jnp.where(cx2 > v01, 2, b01)
+
+        # Y candidates at (i, j-1), same lane (ext, double, open);
+        # open_r[j-1] = orp0 only at j-1 == 0
+        orp = jnp.where(jsrc == 0, orp0, lgo)
+        cy0 = y1 + gexti
+        cy1 = x1 + lgo
+        cy2 = t1 + orp
+        w01 = jnp.maximum(cy0, cy1)
+        c01 = jnp.where(cy1 > cy0, 1, 0)
+        yc = jnp.maximum(w01, cy2)
+        bpy = jnp.where(cy2 > w01, 2, c01)
+
+        # M candidates from generation d-2 at lane i-1 (m, x, y)
+        t2 = m2 + lng
+        u01 = jnp.maximum(t2, x2)
+        e01 = jnp.where(x2 > t2, 1, 0)
+        mc = jnp.maximum(u01, y2)
+        bpm = jnp.where(y2 > u01, 2, e01)
+
+        valid = (jt >= vlo) & (jt <= vhi)
+        jgt0 = jt > 0
+        okx = valid & pgt0
+        oky = valid & jgt0
+        okm = okx & jgt0
+
+        X = jnp.where(okx, pltpu.roll(xc, 1, axis=1), neg)
+        Y = jnp.where(oky, yc, neg)
+        M = jnp.where(okm, pltpu.roll(mc, 1, axis=1) + ms_ref[t], neg)
+
+        # backpointers of -inf cells are never read (backtrack only
+        # visits finite cells), so they are left unmasked
+        bpxr = pltpu.roll(bpx, 1, axis=1)
+        bpmr = pltpu.roll(bpm, 1, axis=1)
+        bp_ref[t] = (bpmr | (bpxr << 2) | (bpy << 4)).astype(jnp.int8)
+
+        hit = d == cornerd
+        fM_ref[:] = jnp.where(hit, M, fM_ref[:])
+        fX_ref[:] = jnp.where(hit, X, fX_ref[:])
+        fY_ref[:] = jnp.where(hit, Y, fY_ref[:])
+
+        st_ref[sl2, 0] = M
+        st_ref[sl2, 1] = X
+        st_ref[sl2, 2] = Y
+        return 0
+
+    jax.lax.fori_loop(0, TD, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("TD",))
+def pallas_fill(fscal, iscal, gexti, ol, vlo, vhi, ms, TD=16):
+    """Run the fill. ms is (Dpk, B, Lp) pre-folded match-score diagonals
+    for d = 1..; returns (bp (Dpk, B, Lp) int8, fM, fX, fY (B, Lp))."""
+    Dpk, B, Lp = ms.shape
+    f = ms.dtype
+    grid = Dpk // TD
+    resident = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, TD),
+        grid=(grid,),
+        in_specs=[
+            resident(fscal.shape),
+            resident(iscal.shape),
+            resident((B, Lp)),
+            resident((B, Lp)),
+            resident((B, Lp)),
+            resident((B, Lp)),
+            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            resident((B, Lp)),
+            resident((B, Lp)),
+            resident((B, Lp)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Dpk, B, Lp), jnp.int8),
+            jax.ShapeDtypeStruct((B, Lp), f),
+            jax.ShapeDtypeStruct((B, Lp), f),
+            jax.ShapeDtypeStruct((B, Lp), f),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, 3, B, Lp), f)],
+        interpret=INTERPRET,
+    )(fscal, iscal, gexti, ol, vlo, vhi, ms)
+
+
+# ----------------------------------------------------------------------
+def _lane_bucket(n: int) -> int:
+    """Lane dimension must be a multiple of 128."""
+    return max(128, -(-n // 128) * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("Lp", "Rp"))
+def _fold_shear(ms, lw, rw, lng, Lp, Rp):
+    """Pre-fold edge weights + log-non-gap into the match scores and
+    shear to diagonal-major, dropping the d=0 row."""
+    L, R = ms.shape
+    msf = ms + lw[:, None] + rw[None, :] + lng
+    pad = jnp.zeros((Lp, Rp), ms.dtype).at[:L, :R].set(msf)
+    return _shear(pad, Lp + Rp - 1)[1:]          # (Lp+Rp-2, Lp)
+
+
+def pallas_job_arrays(inp, Lp, Rp, band=None, dtype=np.float32):
+    """Per-job device arrays for pallas_fill (no batch dim yet)."""
+    L, R = inp["L"], inp["R"]
+    ms_sh = _fold_shear(jnp.asarray(inp["ms"], dtype),
+                        jnp.asarray(inp["lw"], dtype),
+                        jnp.asarray(inp["rw"], dtype),
+                        dtype(inp["lng"]), Lp, Rp)
+
+    gexti = np.zeros(Lp, dtype)
+    gexti[:L] = inp["gext_i"]
+    ol = np.zeros(Lp, dtype)
+    ol[:L] = inp["open_l"]
+
+    vlo = np.ones(Lp, np.int32)          # empty interval beyond L
+    vhi = np.zeros(Lp, np.int32)
+    if band is None:
+        vlo[:L] = 0
+        vhi[:L] = R - 1
+    else:
+        upper, lower = band
+        vlo[:L] = np.maximum(np.asarray(upper[:L], np.int32), 0)
+        vhi[:L] = np.minimum(np.asarray(lower[:L], np.int32), R - 1)
+
+    fscal = np.array([inp["gext"], inp["gend"], inp["lgo"], inp["lng"],
+                      inp["orp0"], 0, 0, 0], dtype)
+    iscal = np.array([R, L + R - 2, 0, 0, 0, 0, 0, 0], np.int32)
+    return dict(ms_sh=ms_sh, gexti=gexti, ol=ol, vlo=vlo, vhi=vhi,
+                fscal=fscal, iscal=iscal)
+
+
+def pallas_batch_args(jobs: list[dict], Lp: int, Rp: int, TD: int = 16):
+    """Stack per-job arrays (from pallas_job_arrays) into kernel args."""
+    B = len(jobs)
+    Dn = Lp + Rp - 2
+    Dpk = -(-Dn // TD) * TD
+    ms = jnp.stack([j["ms_sh"] for j in jobs], axis=1)      # (Dn, B, Lp)
+    if Dpk > Dn:
+        ms = jnp.concatenate(
+            [ms, jnp.zeros((Dpk - Dn, B, Lp), ms.dtype)], axis=0)
+    fscal = jnp.asarray(np.stack([j["fscal"] for j in jobs]))
+    iscal = jnp.asarray(np.stack([j["iscal"] for j in jobs]))
+    gexti = jnp.asarray(np.stack([j["gexti"] for j in jobs]))
+    ol = jnp.asarray(np.stack([j["ol"] for j in jobs]))
+    vlo = jnp.asarray(np.stack([j["vlo"] for j in jobs]))
+    vhi = jnp.asarray(np.stack([j["vhi"] for j in jobs]))
+    return (fscal, iscal, gexti, ol, vlo, vhi, ms)
+
+
+def pallas_align_path(left, right, model, settings: AlignSettings,
+                      left_branch_length: float = 0.0,
+                      right_branch_length: float = 0.0,
+                      band=None, TD: int = 16):
+    """Single-pair fill via the pallas kernel + host backtrack, with the
+    anchored-DP full-matrix fallback (viterbi_alignment.cpp:298-317)."""
+    from .viterbi_jax import _backtrack_arrays
+
+    inp = prepare_sheared(left, right, model, settings, np.float32)
+    _add_scalar_params(inp)
+    Lp = _lane_bucket(inp["L"])
+    Rp = _bucket(inp["R"])
+
+    def run(bnd):
+        job = pallas_job_arrays(inp, Lp, Rp, band=bnd)
+        args = pallas_batch_args([job], Lp, Rp, TD)
+        bp, fM, fX, fY = pallas_fill(*args, TD=TD)
+        li = inp["L"] - 1
+        final = np.array([np.asarray(fM)[0, li], np.asarray(fX)[0, li],
+                          np.asarray(fY)[0, li]])
+        return bp, final
+
+    bp, final = run(band)
+    if band is not None and not np.isfinite(final).any():
+        bp, final = run(None)
+
+    cells = _ShearedCells.__new__(_ShearedCells)
+    cells.bp = _OffsetBP(np.asarray(bp)[:, 0, :])
+    cells.left = left
+    cells.right = right
+    end = _end_corner_linear(final, left, right, model, inp["L"], inp["R"])
+    end.bwd_score = 1.0
+    end.full_score = 1.0
+    path = _backtrack_arrays(cells, left, right, PathPtr(end, True),
+                             inp["L"], inp["R"],
+                             left_branch_length, right_branch_length)
+    return path, end
+
+
+class _OffsetBP:
+    """View of the pallas bp plane indexed like the sheared one:
+    [d, i] with d starting at 0 (row d-1 holds diagonal d)."""
+
+    def __init__(self, bp):
+        self._bp = bp
+
+    def __getitem__(self, idx):
+        d, i = idx
+        if d == 0:
+            return 0x3F
+        return self._bp[d - 1, i]
+
+
+def _add_scalar_params(inp):
+    """Derive the scalar penalty params pallas_job_arrays needs from a
+    prepare_sheared dict (gap-ext, terminal gap-ext, open_r[0])."""
+    L, R = inp["L"], inp["R"]
+    gj = inp["gext_j"]
+    inp["gend"] = float(gj[0])
+    inp["gext"] = float(gj[1]) if R > 2 else float(gj[0])
+    # open_r[0] == open_l[0] (both 0.0 under reduced terminal penalties)
+    inp["orp0"] = float(inp["open_l"][0])
+    return inp

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--min-branch-length", type=float, default=0.001)
 
     a = p.add_argument_group("alignment")
+    a.add_argument("--full-probability", action="store_true",
+                   help="compute full probability (fwd/bwd posterior)")
+    a.add_argument("--sample-path", action="store_true",
+                   help="sample the alignment path from posteriors")
+    a.add_argument("--sample-additional-paths", type=int, default=0)
+    a.add_argument("--weight-sampled-edges", action="store_true")
+    a.add_argument("--seed", type=int, help="RNG seed for path sampling")
     a.add_argument("--no-terminal-edges", action="store_true")
     a.add_argument("--no-reduced-terminal-penalties", action="store_true")
     a.add_argument("--keep-all-edges", action="store_true")
@@ -162,7 +169,16 @@ def make_settings(args):
         use_prefix_anchors=args.use_prefix_anchors,
         prefix_hit_length=args.prefix_hit_length,
         anchors_offset=args.anchors_offset,
+        compute_full_score=args.full_probability,
+        sample_path=args.sample_path,
+        sample_additional_paths=args.sample_additional_paths,
+        # set_additional_settings (basic_alignment.h:618-619)
+        weight_edges=(args.weight_sampled_edges and
+                      args.sample_additional_paths > 0),
     )
+    if args.seed is not None:
+        from .align import set_sampling_seed
+        set_sampling_seed(args.seed)
     if args.branch_length_confirm_insertion is not None:
         s = replace(s, max_allowed_skip_distance=args.branch_length_confirm_insertion)
     if args.any_skips_confirm_insertion is not None:
