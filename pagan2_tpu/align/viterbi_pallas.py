@@ -53,13 +53,13 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1) == 0
         allneg = jnp.full((B, Lp), neg, f)
         # generation d=0: M(0,0)=0 at lane 0, everything else -inf
-        st_ref[0, 0] = jnp.where(lane0, jnp.zeros((B, Lp), f), allneg)
-        st_ref[0, 1] = allneg
-        st_ref[0, 2] = allneg
+        st_ref[0] = jnp.where(lane0, jnp.zeros((B, Lp), f), allneg)
+        st_ref[1] = allneg
+        st_ref[2] = allneg
         # generation d=-1
-        st_ref[1, 0] = allneg
-        st_ref[1, 1] = allneg
-        st_ref[1, 2] = allneg
+        st_ref[3] = allneg
+        st_ref[4] = allneg
+        st_ref[5] = allneg
         fM_ref[:] = allneg
         fX_ref[:] = allneg
         fY_ref[:] = allneg
@@ -78,16 +78,12 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
     gexti = gexti_ref[:]
     ol = ol_ref[:]
 
-    def body(t, _):
+    # wavefront state rides the fori_loop carry (VMEM/vregs); scratch is
+    # only touched at block boundaries with static indices — dynamic
+    # scratch indexing forced per-step buffer copies and was ~20x slower
+    def body(t, state):
+        m1, x1, y1, m2, x2, y2, fM, fX, fY = state
         d = 1 + blk * TD + t
-        sl1 = (d - 1) & 1           # generation d-1
-        sl2 = d & 1                 # generation d-2 (overwritten with d)
-        m1 = st_ref[sl1, 0]
-        x1 = st_ref[sl1, 1]
-        y1 = st_ref[sl1, 2]
-        m2 = st_ref[sl2, 0]
-        x2 = st_ref[sl2, 1]
-        y2 = st_ref[sl2, 2]
 
         jsrc = (d - 1) - lane       # source column on generation d-1
         jt = jsrc + 1               # target column j = d - lane
@@ -139,16 +135,18 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         bp_ref[t] = (bpmr | (bpxr << 2) | (bpy << 4)).astype(jnp.int8)
 
         hit = d == cornerd
-        fM_ref[:] = jnp.where(hit, M, fM_ref[:])
-        fX_ref[:] = jnp.where(hit, X, fX_ref[:])
-        fY_ref[:] = jnp.where(hit, Y, fY_ref[:])
+        fM = jnp.where(hit, M, fM)
+        fX = jnp.where(hit, X, fX)
+        fY = jnp.where(hit, Y, fY)
+        return (M, X, Y, m1, x1, y1, fM, fX, fY)
 
-        st_ref[sl2, 0] = M
-        st_ref[sl2, 1] = X
-        st_ref[sl2, 2] = Y
-        return 0
-
-    jax.lax.fori_loop(0, TD, body, 0)
+    state = (st_ref[0], st_ref[1], st_ref[2],
+             st_ref[3], st_ref[4], st_ref[5],
+             fM_ref[:], fX_ref[:], fY_ref[:])
+    state = jax.lax.fori_loop(0, TD, body, state)
+    st_ref[0], st_ref[1], st_ref[2] = state[0], state[1], state[2]
+    st_ref[3], st_ref[4], st_ref[5] = state[3], state[4], state[5]
+    fM_ref[:], fX_ref[:], fY_ref[:] = state[6], state[7], state[8]
 
 
 @functools.partial(jax.jit, static_argnames=("TD",))
@@ -186,7 +184,7 @@ def pallas_fill(fscal, iscal, gexti, ol, vlo, vhi, ms, TD=16):
             jax.ShapeDtypeStruct((B, Lp), f),
             jax.ShapeDtypeStruct((B, Lp), f),
         ],
-        scratch_shapes=[pltpu.VMEM((2, 3, B, Lp), f)],
+        scratch_shapes=[pltpu.VMEM((6, B, Lp), f)],
         interpret=INTERPRET,
     )(fscal, iscal, gexti, ol, vlo, vhi, ms)
 

@@ -19,6 +19,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="Phylogeny-aware multiple sequence alignment "
                     "(TPU-native PAGAN2)")
     g = p.add_argument_group("input/output")
+    g.add_argument("config_file", nargs="?", default=None,
+                   help="ini-style config file with 'option = value' "
+                        "lines (command-line arguments win)")
+    g.add_argument("--config-file", dest="config_file_opt", default=None)
+    g.add_argument("--config-log-file", default=None,
+                   help="write the effective options to a replayable "
+                        "config file")
     g.add_argument("-s", "--seqfile", help="sequence infile (FASTA/FASTQ)")
     g.add_argument("-t", "--treefile", help="guide tree (Newick)")
     g.add_argument("-q", "--queryfile", help="reads/query file")
@@ -38,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     m = p.add_argument_group("model")
     m.add_argument("--codons", action="store_true")
     m.add_argument("--protein", action="store_true")
+    m.add_argument("--translate", action="store_true",
+                   help="translate DNA input to protein; align as protein "
+                        "and also write back-translated .codon output")
+    m.add_argument("--mt-translate", action="store_true",
+                   help="like --translate with the vertebrate "
+                        "mitochondrial code")
     m.add_argument("--char-kappa", type=float, default=2.0)
     m.add_argument("--char-rho", type=float, default=1.0)
     m.add_argument("--ins-rate", type=float)
@@ -123,6 +136,39 @@ def resolve_data_type(args, entries) -> str:
     if args.protein:
         return alph.PROTEIN
     return guess_data_type(entries)
+
+
+def maybe_translate(args, entries, data_type):
+    """--translate / --mt-translate: convert DNA input to protein on read
+    (fasta_reader.cpp:239-263). Returns (data_type, dna_map or None)."""
+    from .models import alphabets as alph
+    if not (args.translate or args.mt_translate):
+        return data_type, None
+    if data_type != alph.DNA:
+        print("Option '--translate' cannot be used for proteins. Exiting.",
+              file=sys.stderr)
+        raise SystemExit(0)
+    from .io.translate import translate_entries
+    dna_map = translate_entries(entries, mt=args.mt_translate)
+    return alph.PROTEIN, dna_map
+
+
+def write_codon_outputs(args, tree, alignment, dna_map):
+    """Back-translated `.codon` flatfile (+xml) next to the protein
+    output (input_output_parser.cpp:646-806)."""
+    from .io.translate import backtranslate_entries
+    codon = backtranslate_entries(
+        alignment, dna_map,
+        include_mock_ancestors=args.output_ancestors,
+        mt=args.mt_translate)
+    if not codon:
+        return
+    import copy
+    cargs = copy.copy(args)
+    cargs.outfile = args.outfile + ".codon"
+    cargs.output_graph = False
+    cargs.output_nhx_tree = False
+    write_outputs(cargs, tree, codon, "dna")
 
 
 def make_model_factory(args, data_type, entries):
@@ -220,8 +266,95 @@ def write_outputs(args, tree, alignment, data_type):
             f.write(tree.to_newick(with_names_for_internal=True) + "\n")
 
 
+def config_file_args(path, parser) -> list[str]:
+    """Convert an ini-style config file ('option = value', '#' comments;
+    settings.cpp:304-331) into an argv fragment. Switches appear as
+    'option = 1'."""
+    args = []
+    actions = parser._option_string_actions
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, _, val = line.partition("=")
+            opt = "--" + key.strip()
+            val = val.strip()
+            action = actions.get(opt)
+            if action is None:
+                raise SystemExit("unknown option '%s' in config file %s"
+                                 % (key.strip(), path))
+            if isinstance(action, argparse._StoreTrueAction):
+                if val.lower() in ("1", "true", "yes", "on", ""):
+                    args.append(opt)
+            else:
+                args.extend([opt, val])
+    return args
+
+
+def write_config_log(path, argv, cfg_args):
+    """Replayable 'option = value' dump of the effective arguments
+    (settings.cpp:446-510)."""
+    import time as _time
+    lines = ["# pagan2-tpu",
+             "#", "# Analysis started: " + _time.asctime(), ""]
+
+    def emit(tokens):
+        i = 0
+        while i < len(tokens):
+            tok = tokens[i]
+            if not tok.startswith("-"):
+                i += 1
+                continue
+            key = tok.lstrip("-")
+            if "=" in key:
+                key, val = key.split("=", 1)
+            elif i + 1 < len(tokens) and not tokens[i + 1].startswith("-"):
+                val = tokens[i + 1]
+                i += 1
+            else:
+                val = "1"
+            if key not in ("config-file", "config-log-file"):
+                lines.append("%s = %s" % (key, val))
+            i += 1
+
+    emit(list(argv))
+    if cfg_args:
+        lines.append("")
+        lines.append("# Additional arguments from config file:")
+        emit(cfg_args)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cfg_path = args.config_file_opt or args.config_file
+    cfg_args = []
+    if cfg_path:
+        if not os.path.exists(cfg_path):
+            print("Config file '%s' not found. Exiting." % cfg_path,
+                  file=sys.stderr)
+            return 1
+        # config args go first so explicit command-line arguments win
+        cfg_args = config_file_args(cfg_path, parser)
+        clean = []
+        skip = False
+        for a in argv:
+            if skip:
+                skip = False
+            elif a == "--config-file":
+                skip = True
+            elif a.startswith("--config-file=") or a == cfg_path:
+                pass
+            else:
+                clean.append(a)
+        args = parser.parse_args(cfg_args + clean)
+    if args.config_log_file:
+        write_config_log(args.config_log_file, argv, cfg_args)
     from .io.fasta import read_sequences
     from .utils import set_noise
     set_noise(-1 if args.silent else args.noise)
@@ -265,6 +398,7 @@ def main(argv=None) -> int:
         # main.cpp:181, node.h:909)
         entries = read_sequences(args.ref_seqfile)
         data_type = resolve_data_type(args, entries)
+        data_type, dna_map = maybe_translate(args, entries, data_type)
         mf = make_model_factory(args, data_type, entries)
         settings = make_settings(args)
         if not args.ref_treefile:
@@ -278,6 +412,10 @@ def main(argv=None) -> int:
         if args.queryfile:
             from .pipeline.placement import place_queries, PlacementConfig
             queries = read_sequences(args.queryfile)
+            if dna_map is not None:
+                from .io.translate import translate_entries
+                dna_map.update(
+                    translate_entries(queries, mt=args.mt_translate))
             cfg = PlacementConfig(
                 min_query_overlap=args.min_query_overlap,
                 min_query_identity=args.min_query_identity,
@@ -306,6 +444,8 @@ def main(argv=None) -> int:
             res.alignment[:] = extract_alignment(res.tree, True,
                                                  data_type=data_type)
         write_outputs(args, res.tree, res.alignment, data_type)
+        if dna_map is not None:
+            write_codon_outputs(args, res.tree, res.alignment, dna_map)
         if not args.silent:
             n = len(res.alignment)
             l = len(res.alignment[0].sequence) if n else 0
@@ -318,6 +458,7 @@ def main(argv=None) -> int:
 
     entries = read_sequences(args.seqfile)
     data_type = resolve_data_type(args, entries)
+    data_type, dna_map = maybe_translate(args, entries, data_type)
     mf = make_model_factory(args, data_type, entries)
     settings = make_settings(args)
 
@@ -350,6 +491,8 @@ def main(argv=None) -> int:
                                              data_type=data_type)
 
     write_outputs(args, res.tree, res.alignment, data_type)
+    if dna_map is not None:
+        write_codon_outputs(args, res.tree, res.alignment, dna_map)
     if not args.silent:
         n = len(res.alignment)
         l = len(res.alignment[0].sequence) if n else 0
