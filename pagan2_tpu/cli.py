@@ -37,10 +37,30 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fasta", "phylip", "phylipi", "nexus", "paml",
                             "raxml"])
     g.add_argument("--xml", action="store_true", help="also write HSAML xml")
-    g.add_argument("--output-ancestors", action="store_true")
+    g.add_argument("--xml-nhx", action="store_true",
+                   help="output XML alignment with NHX tree")
+    g.add_argument("--output-ancestors", "--ancestors", action="store_true",
+                   dest="output_ancestors",
+                   help="include ancestors in outfile")
+    g.add_argument("--events", action="store_true",
+                   help="output inferred evolutionary events")
     g.add_argument("--output-graph", action="store_true",
                    help="write root graph (.grp)")
-    g.add_argument("--output-nhx-tree", action="store_true")
+    g.add_argument("--output-nhx-tree", "--guidetree", action="store_true",
+                   dest="output_nhx_tree",
+                   help="output alignment guidetree (with NHX tags)")
+    g.add_argument("--prune-extended-alignment", action="store_true",
+                   help="remove closely related sequences")
+    g.add_argument("--prune-keep-number", type=int, default=0,
+                   help="prune output, keep N most distant sequences")
+    g.add_argument("--prune-keep-threshold", type=float,
+                   help="accepted for compatibility")
+    g.add_argument("--prune-keep-closest", action="store_true",
+                   help="prune output, keep only closest references")
+    g.add_argument("--trim-extended-alignment", action="store_true",
+                   help="remove terminal reference sequences")
+    g.add_argument("--trim-keep-sites", type=int, default=15,
+                   help="trim distance around queries")
 
     m = p.add_argument_group("model")
     m.add_argument("--codons", action="store_true")
@@ -51,8 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--mt-translate", action="store_true",
                    help="like --translate with the vertebrate "
                         "mitochondrial code")
-    m.add_argument("--char-kappa", type=float, default=2.0)
-    m.add_argument("--char-rho", type=float, default=1.0)
+    m.add_argument("--dna-kappa", "--char-kappa", dest="char_kappa",
+                   type=float, default=2.0)
+    m.add_argument("--dna-rho", "--char-rho", dest="char_rho",
+                   type=float, default=1.0)
+    m.add_argument("--use-aa-groups", action="store_true",
+                   help="reconstruct amino-acid parsimony with 51 groups")
+    m.add_argument("--score-as-dna", action="store_true",
+                   help="score protein/ORFs as DNA (translated placement)")
     m.add_argument("--ins-rate", type=float)
     m.add_argument("--del-rate", type=float)
     m.add_argument("--indel-rate", type=float)
@@ -112,14 +138,36 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--use-identity-score", action="store_true")
     r.add_argument("--use-target-normalised-score", action="store_true")
     r.add_argument("--output-discarded-queries", action="store_true")
+    r.add_argument("--no-fastq", action="store_true",
+                   help="do not use Q-scores")
+    r.add_argument("--qscore-minimum", type=int, default=10,
+                   help="threshold to mask low Q-score sites")
+    r.add_argument("--allow-skip-low-qscore", action="store_true")
+    r.add_argument("--454-skip-low-qscore", action="store_true",
+                   dest="skip454_low_qscore",
+                   help="accepted for compatibility")
 
     x = p.add_argument_group("execution")
     x.add_argument("--engine", default="auto",
                    choices=["auto", "jax", "oracle"])
     x.add_argument("--threads", type=int, default=1,
                    help="accepted for compatibility; batching replaces it")
+    x.add_argument("--boost", action="store_true",
+                   help="accepted for compatibility; batching replaces it")
     x.add_argument("--silent", action="store_true")
     x.add_argument("--noise", type=int, default=0)
+    x.add_argument("--version", "-v", action="store_true",
+                   help="show program version")
+    x.add_argument("--time", action="store_true", dest="track_time",
+                   help="track time per pipeline phase")
+    x.add_argument("--log-output-file", default=None,
+                   help="log to file instead of stderr")
+    x.add_argument("--temp-folder", default=None,
+                   help="accepted for compatibility (no temp files used)")
+    x.add_argument("--keep-temp-files", action="store_true",
+                   help="accepted for compatibility")
+    x.add_argument("--check-valid-graphs", action="store_true",
+                   help="check sequence-graph invariants after alignment")
     x.add_argument("--anchors", action="store_true", default=True)
     x.add_argument("--no-anchors", action="store_true")
     x.add_argument("--use-prefix-anchors", action="store_true")
@@ -240,30 +288,84 @@ def make_settings(args):
     return s
 
 
-def write_outputs(args, tree, alignment, data_type):
+def write_entries(entries, out, fmt, data_type):
     from .io.fasta import (write_fasta, write_phylip, write_nexus,
                            write_paml)
+    if fmt == "fasta":
+        write_fasta(entries, out + ".fas")
+    elif fmt in ("phylip", "raxml"):
+        write_phylip(entries, out + ".phy")
+    elif fmt == "phylipi":
+        write_phylip(entries, out + ".phy", interleaved=True)
+    elif fmt == "nexus":
+        write_nexus(entries, out + ".nex", data_type=data_type)
+    elif fmt == "paml":
+        write_paml(entries, out + ".phy")
+
+
+def write_outputs(args, tree, alignment, data_type):
     from .io.writers import write_xml, write_graph_file
 
-    fmt = args.outformat
     out = args.outfile
-    if fmt == "fasta":
-        write_fasta(alignment, out + ".fas")
-    elif fmt in ("phylip", "raxml"):
-        write_phylip(alignment, out + ".phy")
-    elif fmt == "phylipi":
-        write_phylip(alignment, out + ".phy", interleaved=True)
-    elif fmt == "nexus":
-        write_nexus(alignment, out + ".nex", data_type=data_type)
-    elif fmt == "paml":
-        write_paml(alignment, out + ".phy")
-    if args.xml and tree is not None:
-        write_xml(tree, alignment, out + ".xml")
+    write_entries(alignment, out, args.outformat, data_type)
+    if (args.xml or args.xml_nhx) and tree is not None:
+        write_xml(tree, alignment, out + ".xml",
+                  nhx=args.xml_nhx)
     if args.output_graph and tree is not None and tree.graph is not None:
         write_graph_file(tree.graph, out + ".grp")
-    if tree is not None and (args.output_nhx_tree or args.output_ancestors):
+    if tree is not None and args.output_ancestors:
         with open(out + ".anctree", "w") as f:
             f.write(tree.to_newick(with_names_for_internal=True) + "\n")
+    if tree is not None and args.output_nhx_tree:
+        from .pipeline.postprocess import write_nhx_tree
+        write_nhx_tree(tree, out, "nhx_tree")
+
+
+def post_outputs(args, tree, alignment, data_type):
+    """Post-output steps shared by all run modes: --events,
+    --prune-extended-alignment, --trim-extended-alignment,
+    --check-valid-graphs (input_output_parser.cpp:586-930)."""
+    from .utils import log_out
+    if tree is None:
+        return
+    if args.events:
+        from .pipeline.postprocess import count_events
+        count_events(tree, alignment, args.outfile, data_type,
+                     is_codon=args.codons, mt=args.mt_translate)
+        log_out("Inferred evolutionary events: %s.events\n"
+                % args.outfile, 0)
+
+    from .pipeline.postprocess import (prune_extended_alignment,
+                                       trim_alignment, read_node_names,
+                                       write_nhx_tree)
+    if args.prune_extended_alignment:
+        outs = prune_extended_alignment(
+            tree, alignment, keep_number=args.prune_keep_number,
+            keep_closest=args.prune_keep_closest,
+            trim=args.trim_extended_alignment,
+            trim_keep_sites=args.trim_keep_sites)
+        for suffix, entries, ptree in outs:
+            write_entries(entries, args.outfile + suffix, args.outformat,
+                          data_type)
+            if ptree is not None:
+                write_nhx_tree(ptree, args.outfile + suffix, "tre")
+            log_out("Pruned alignment file: %s%s\n"
+                    % (args.outfile, suffix), 0)
+    elif args.trim_extended_alignment:
+        readnames = read_node_names(tree)
+        trimmed = trim_alignment(alignment, readnames,
+                                 args.trim_keep_sites)
+        write_entries(trimmed, args.outfile + ".trimmed", args.outformat,
+                      data_type)
+        log_out("Trimmed alignment file: %s.trimmed\n" % args.outfile, 0)
+
+    if args.check_valid_graphs:
+        bad = [n.name for n in tree.nodes_postorder()
+               if n.graph is not None and not n.graph.check_valid_graph()]
+        if bad:
+            print("invalid sequence graphs at nodes: %s" % ", ".join(bad),
+                  file=sys.stderr)
+            raise SystemExit(1)
 
 
 def config_file_args(path, parser) -> list[str]:
@@ -355,9 +457,34 @@ def main(argv=None) -> int:
         args = parser.parse_args(cfg_args + clean)
     if args.config_log_file:
         write_config_log(args.config_log_file, argv, cfg_args)
+    if args.version:
+        from . import __version__
+        print("pagan2-tpu v%s (TPU-native PAGAN2)" % __version__)
+        return 0
     from .io.fasta import read_sequences
     from .utils import set_noise
-    set_noise(-1 if args.silent else args.noise)
+    set_noise(-1 if args.silent else args.noise,
+              log_file=args.log_output_file)
+
+    import time as _time
+    _t0 = _time.perf_counter()
+    _phases = []
+
+    def _tick(phase):
+        if args.track_time:
+            _phases.append((phase, _time.perf_counter()))
+
+    def _report_time():
+        if not args.track_time:
+            return
+        prev = _t0
+        for phase, t in _phases:
+            print("TIME %-24s %8.3f s" % (phase, t - prev),
+                  file=sys.stderr)
+            prev = t
+        print("TIME %-24s %8.3f s" % ("total",
+                                      _time.perf_counter() - _t0),
+              file=sys.stderr)
 
     # honor JAX_PLATFORMS even though the sitecustomize axon registration
     # overrides the env-var route (jax.config wins over both)
@@ -372,6 +499,7 @@ def main(argv=None) -> int:
             return 1
         reads = read_sequences(args.queryfile)
         data_type = resolve_data_type(args, reads)
+        _tick("read input")
         from .pipeline.pileup import pileup_align, PileupConfig
         cfg = PileupConfig(
             mode454=args.mode454, homopolymer=args.homopolymer,
@@ -384,13 +512,20 @@ def main(argv=None) -> int:
             consensus_minimum=args.consensus_minimum,
             consensus_minimum_proportion=args.consensus_minimum_proportion,
             overlap_with_any=args.overlap_with_any,
-            engine=args.engine)
+            engine=args.engine,
+            use_fastq=not args.no_fastq,
+            qscore_minimum=args.qscore_minimum,
+            allow_skip_low_qscore=args.allow_skip_low_qscore)
         mf = make_model_factory(args, data_type, reads)
         res = pileup_align(reads, data_type, cfg, model_factory=mf)
+        _tick("pileup alignment")
         write_outputs(args, res.root, res.alignment, data_type)
+        post_outputs(args, res.root, res.alignment, data_type)
+        _tick("write output")
         if not args.silent:
             print(f"pileup: {len(res.alignment)} rows, "
                   f"{len(res.discarded)} reads discarded -> {args.outfile}")
+        _report_time()
         return 0
 
     if args.ref_seqfile:
@@ -439,17 +574,22 @@ def main(argv=None) -> int:
             if not args.silent:
                 print(f"placed {len(outcome.placed)} queries, "
                       f"{len(outcome.discarded)} discarded")
-        if args.output_ancestors:
+        full = res.alignment
+        if args.output_ancestors or args.events:
             from .pipeline.progressive import extract_alignment
-            res.alignment[:] = extract_alignment(res.tree, True,
-                                                 data_type=data_type)
+            full = extract_alignment(res.tree, True, data_type=data_type)
+            if args.output_ancestors:
+                res.alignment[:] = full
         write_outputs(args, res.tree, res.alignment, data_type)
+        post_outputs(args, res.tree, full, data_type)
+        _tick("write output")
         if dna_map is not None:
             write_codon_outputs(args, res.tree, res.alignment, dna_map)
         if not args.silent:
             n = len(res.alignment)
             l = len(res.alignment[0].sequence) if n else 0
             print(f"alignment: {n} rows x {l} cols -> {args.outfile}")
+        _report_time()
         return 0
 
     if not args.seqfile:
@@ -482,21 +622,28 @@ def main(argv=None) -> int:
         model_factory=mf, engine=args.engine,
         include_internal_nodes=args.output_ancestors,
         mode454=args.mode454, homopolymer=args.homopolymer)
+    _tick("alignment")
 
-    if args.output_ancestors:
+    full = res.alignment
+    if args.output_ancestors or args.events:
         from .pipeline.ancestors import reconstruct_parsimony_ancestors
         reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
         from .pipeline.progressive import extract_alignment
-        res.alignment[:] = extract_alignment(res.tree, True,
-                                             data_type=data_type)
+        full = extract_alignment(res.tree, True, data_type=data_type)
+        if args.output_ancestors:
+            res.alignment[:] = full
+    _tick("ancestors")
 
     write_outputs(args, res.tree, res.alignment, data_type)
+    post_outputs(args, res.tree, full, data_type)
+    _tick("write output")
     if dna_map is not None:
         write_codon_outputs(args, res.tree, res.alignment, dna_map)
     if not args.silent:
         n = len(res.alignment)
         l = len(res.alignment[0].sequence) if n else 0
         print(f"alignment: {n} rows x {l} cols -> {args.outfile}")
+    _report_time()
     return 0
 
 

@@ -26,10 +26,16 @@ def revcomp(seq: str) -> str:
 
 def build_leaf_graph(sequence: str, data_type: str, *,
                      mode454: bool = False, homopolymer: bool = False,
-                     turn_revcomp: bool = False) -> SequenceGraph:
-    """Build a leaf graph. `sequence` is ungapped uppercase."""
+                     turn_revcomp: bool = False, quality: str = "",
+                     qscore_minimum: int = 10,
+                     allow_skip_low_qscore: bool = False) -> SequenceGraph:
+    """Build a leaf graph. `sequence` is ungapped uppercase. A non-empty
+    `quality` string selects the FASTQ builder (sequence.cpp:360-540):
+    sites below `qscore_minimum` are masked to N (lowercase symbol) and
+    454 homopolymer-correction edge weights become quality-aware."""
     if turn_revcomp:
         sequence = revcomp(sequence)
+        quality = quality[::-1]
 
     a = alph.get_alphabet(data_type)
     g = SequenceGraph(data_type, gap_symbol=a.gap_symbol)
@@ -39,6 +45,10 @@ def build_leaf_graph(sequence: str, data_type: str, *,
 
     if data_type == alph.CODON:
         _build_codon(g, sequence, a)
+    elif quality:
+        _build_fastq(g, sequence, quality, a, mode454=mode454,
+                     qscore_minimum=qscore_minimum,
+                     allow_skip_low_qscore=allow_skip_low_qscore)
     else:
         _build_default(g, sequence, a, mode454=mode454,
                        homopolymer=homopolymer)
@@ -93,6 +103,68 @@ def _build_default(g: SequenceGraph, sequence: str, a, *,
                 g.add_edge(prev_ind, cur, 0.25)
                 prev_ind = g.first_bwd_start(prev_ind)
                 r -= 1
+        else:
+            g.add_edge(cur - 1, cur, 1.0)
+
+
+def _build_fastq(g: SequenceGraph, sequence: str, quality: str, a, *,
+                 mode454: bool, qscore_minimum: int,
+                 allow_skip_low_qscore: bool):
+    """FASTQ graph builder (sequence.cpp:360-540): Q-score masking,
+    quality-aware 454 edges (0.9 or 0.6 direct / remainder skip / 0.02
+    double-skip), '0' paired-read break sites, optional low-Q skip
+    edges (--allow-skip-low-qscore, weights 0.6/0.4)."""
+    from .sequence_graph import BREAK_START_SITE, BREAK_STOP_SITE
+    in_row = 1
+    prev_row = 1
+    prev_state = -1
+    site_q = qscore_minimum
+
+    for k, ch in enumerate(sequence):
+        if ch == "0":
+            continue
+        prev_q = site_q
+        site_q = (ord(quality[k]) - 33) if k < len(quality) else 93
+
+        site_type = REAL_SITE
+        if k > 0 and sequence[k - 1] == "0":
+            site_type = BREAK_STOP_SITE
+        if k + 1 < len(sequence) and sequence[k + 1] == "0":
+            site_type = BREAK_START_SITE
+
+        if site_q < qscore_minimum:
+            state = a.state_of("N") if a.name == alph.DNA else a.state_of("X")
+            symbol = ch.lower()
+        else:
+            state = a.state_of(ch.upper())
+            symbol = ch
+        if state < 0:
+            state = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+        cur = g.add_site(state, symbol=symbol, site_type=site_type,
+                         path_state=TERMINAL)
+
+        if state == prev_state:
+            in_row += 1
+            prev_row = 1
+        else:
+            prev_row = in_row
+            in_row = 1
+            prev_state = state
+
+        if mode454 and (prev_row > 2 or prev_q < qscore_minimum):
+            w = 0.6 if prev_q < qscore_minimum else 0.9
+            g.add_edge(cur - 1, cur, w)
+            prev_ind = g.first_bwd_start(cur - 1)
+            if prev_row < 5:
+                g.add_edge(prev_ind, cur, 1.0 - w)
+            else:
+                g.add_edge(prev_ind, cur, 1.0 - w - 0.02)
+                prev_prev = g.first_bwd_start(prev_ind)
+                g.add_edge(prev_prev, cur, 0.02)
+        elif allow_skip_low_qscore and prev_q < qscore_minimum:
+            g.add_edge(cur - 1, cur, 0.6)
+            prev_ind = g.first_bwd_start(cur - 1)
+            g.add_edge(prev_ind, cur, 0.4)
         else:
             g.add_edge(cur - 1, cur, 1.0)
 

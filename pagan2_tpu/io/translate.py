@@ -51,6 +51,12 @@ def _mock_codons(mt: bool) -> dict:
     return rep
 
 
+def codon_to_amino(codon: str, mt: bool = False) -> str:
+    """Single-codon translation (Codon_translation::codon_to_amino);
+    unknown/ambiguous codons give 'X'."""
+    return _code_table(mt).get(rna_to_dna(codon), "X")
+
+
 def rna_to_dna(seq: str) -> str:
     return seq.upper().replace("U", "T")
 

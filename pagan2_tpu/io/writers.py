@@ -12,11 +12,17 @@ from .fasta import FastaEntry
 
 
 def write_xml(tree: TreeNode, entries: list[FastaEntry],
-              path: str | None = None) -> str:
-    """HSAML <ms_alignment> with the guide tree and one node per row."""
+              path: str | None = None, nhx: bool = False) -> str:
+    """HSAML <ms_alignment> with the guide tree and one node per row.
+    With nhx=True the tree carries NHX TID tags (--xml-nhx)."""
     out = ["<ms_alignment>"]
-    out.append("<newick>" + tree.to_newick(with_names_for_internal=True)
-               + "</newick>")
+    if nhx:
+        from ..pipeline.postprocess import print_nhx_tree
+        out.append("<newick>" + print_nhx_tree(tree) + "</newick>")
+    else:
+        out.append("<newick>"
+                   + tree.to_newick(with_names_for_internal=True)
+                   + "</newick>")
     out.append("<nodes>")
     leaf_ids = {l.name: str(i + 1) for i, l in enumerate(tree.leaves())}
     for e in entries:

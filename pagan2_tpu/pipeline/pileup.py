@@ -30,6 +30,9 @@ class PileupConfig:
     consensus_minimum_proportion: float = 0.5
     overlap_with_any: bool = False
     engine: str = "auto"
+    use_fastq: bool = True            # not --no-fastq
+    qscore_minimum: int = 10          # --qscore-minimum
+    allow_skip_low_qscore: bool = False
 
 
 @dataclass
@@ -126,8 +129,12 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
     def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
         seq = clean_sequence(read.sequence, data_type)
         n = TreeNode(name=read.name, dist=config.query_distance)
-        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=turn_rc,
-                                   **gkw)
+        q = read.quality if (config.use_fastq
+                             and len(read.quality) == len(seq)) else ""
+        n.graph = build_leaf_graph(
+            seq, data_type, turn_revcomp=turn_rc, quality=q,
+            qscore_minimum=config.qscore_minimum,
+            allow_skip_low_qscore=config.allow_skip_low_qscore, **gkw)
         n.graph.is_read_sequence = True
         n.graph.num_duplicates = read.num_duplicates
         return n
