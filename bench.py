@@ -4,6 +4,11 @@ wavefront fill on the available accelerator.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured against the 50 GCUPS/chip target from BASELINE.md
 (the reference publishes no numbers; it is a single-threaded CPU code).
+
+Timing is honest for remote-tunneled devices: K chained dispatches with a
+single scalar fetch at the end; the per-iteration time is the slope
+between K1 and K2 iterations (median of 3), which cancels both the fetch
+round-trip and any non-blocking-sync artifacts.
 """
 import json
 import sys
@@ -18,26 +23,27 @@ def main():
     from pagan2_tpu.graph import build_leaf_graph
     from pagan2_tpu.models import ModelFactory, alphabets as alph
     from pagan2_tpu.align import AlignSettings
-    from pagan2_tpu.align.viterbi_sheared import (prepare_sheared,
-                                                  shear_device_inputs,
-                                                  batched_sheared_fill)
+    from pagan2_tpu.align.viterbi_sheared import prepare_sheared
+    from pagan2_tpu.align.viterbi_pallas import (pallas_job_arrays,
+                                                 pallas_batch_args,
+                                                 pallas_fill,
+                                                 _add_scalar_params)
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    # batch of chain-graph pairs through the sheared fast kernel
     if on_tpu:
-        B, N = 4, 4096
+        B, N, TD = 16, 2047, 16
     else:
-        B, N = 2, 256
+        B, N, TD = 2, 255, 16
 
     rng = np.random.default_rng(0)
     mf = ModelFactory(alph.DNA)
     model = mf.alignment_model(0.2)
     settings = AlignSettings()
 
-    stacked = None
+    Lp = Rp = N + 1
+    jobs = []
     cells = 0
-    per_job = []
     for b in range(B):
         base = rng.choice(list("ACGT"), size=N)
         s1 = "".join(base)
@@ -48,25 +54,38 @@ def main():
         g1 = build_leaf_graph(s1, alph.DNA)
         g2 = build_leaf_graph(s2, alph.DNA)
         inp = prepare_sheared(g1, g2, model, settings, dtype=np.float32)
-        per_job.append(shear_device_inputs(inp, Lp=N + 1, Rp=N + 1))
+        _add_scalar_params(inp)
+        jobs.append(pallas_job_arrays(inp, Lp, Rp))
         cells += inp["L"] * inp["R"]
-    args = [jnp.stack([j[k] for j in per_job]) for k in range(len(per_job[0]))]
+    args = pallas_batch_args(jobs, Lp, Rp, TD)
+    args = jax.tree.map(jnp.asarray, args)
+
+    def fill():
+        return pallas_fill(*args, TD=TD)
 
     # warmup/compile
-    out = batched_sheared_fill(*args)
-    jax.block_until_ready(out)
+    out = fill()
+    _ = float(out[1][0, 0])
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = batched_sheared_fill(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def run(K):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            out = fill()
+        _ = float(out[1][0, 0])   # one synchronous fetch drains the queue
+        return time.perf_counter() - t0
+
+    K1, K2 = (4, 16) if on_tpu else (1, 3)
+    ests = []
+    for _ in range(3):
+        tA, tB = run(K1), run(K2)
+        ests.append((tB - tA) / (K2 - K1))
+    ests.sort()
+    dt = ests[1]
 
     gcups = cells / dt / 1e9
     print(json.dumps({
         "metric": "DP fill rate, pairwise phylo-aware graph alignment "
-                  f"({B}x{N}bp pairs, {dev.device_kind})",
+                  f"({B}x{N}bp pairs, pallas wavefront, {dev.device_kind})",
         "value": round(gcups, 4),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 50.0, 4),

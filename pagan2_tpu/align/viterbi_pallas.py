@@ -80,7 +80,10 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
 
     # wavefront state rides the fori_loop carry (VMEM/vregs); scratch is
     # only touched at block boundaries with static indices — dynamic
-    # scratch indexing forced per-step buffer copies and was ~20x slower
+    # scratch indexing forced per-step buffer copies and was ~20x slower.
+    # The loop is FULLY UNROLLED (unroll=TD): Mosaic then software-
+    # pipelines across steps, which measured 2.15x faster than the
+    # rolled loop on v5e.
     def body(t, state):
         m1, x1, y1, m2, x2, y2, fM, fX, fY = state
         d = 1 + blk * TD + t
@@ -96,9 +99,7 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         cx1 = y1 + lgo
         cx2 = t1 + ol
         v01 = jnp.maximum(cx0, cx1)
-        b01 = jnp.where(cx1 > cx0, 1, 0)
         xc = jnp.maximum(v01, cx2)
-        bpx = jnp.where(cx2 > v01, 2, b01)
 
         # Y candidates at (i, j-1), same lane (ext, double, open);
         # open_r[j-1] = orp0 only at j-1 == 0
@@ -107,16 +108,12 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         cy1 = x1 + lgo
         cy2 = t1 + orp
         w01 = jnp.maximum(cy0, cy1)
-        c01 = jnp.where(cy1 > cy0, 1, 0)
         yc = jnp.maximum(w01, cy2)
-        bpy = jnp.where(cy2 > w01, 2, c01)
 
         # M candidates from generation d-2 at lane i-1 (m, x, y)
         t2 = m2 + lng
         u01 = jnp.maximum(t2, x2)
-        e01 = jnp.where(x2 > t2, 1, 0)
         mc = jnp.maximum(u01, y2)
-        bpm = jnp.where(y2 > u01, 2, e01)
 
         valid = (jt >= vlo) & (jt <= vhi)
         jgt0 = jt > 0
@@ -129,10 +126,16 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         M = jnp.where(okm, pltpu.roll(mc, 1, axis=1) + ms_ref[t], neg)
 
         # backpointers of -inf cells are never read (backtrack only
-        # visits finite cells), so they are left unmasked
-        bpxr = pltpu.roll(bpx, 1, axis=1)
-        bpmr = pltpu.roll(bpm, 1, axis=1)
-        bp_ref[t] = (bpmr | (bpxr << 2) | (bpy << 4)).astype(jnp.int8)
+        # visits finite cells), so they are left unmasked. Codes are
+        # produced pre-shifted (bpm bits 0-1, bpx 2-3, bpy 4-5) so the
+        # pack is two adds and one roll instead of shifts + two rolls.
+        bx = jnp.where(cx1 > cx0, 4, 0)
+        bx = jnp.where(cx2 > v01, 8, bx)
+        by = jnp.where(cy1 > cy0, 16, 0)
+        by = jnp.where(cy2 > w01, 32, by)
+        bm = jnp.where(x2 > t2, 1, 0)
+        bm = jnp.where(y2 > u01, 2, bm)
+        bp_ref[t] = (pltpu.roll(bx + bm, 1, axis=1) + by).astype(jnp.int8)
 
         hit = d == cornerd
         fM = jnp.where(hit, M, fM)
@@ -143,7 +146,7 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
     state = (st_ref[0], st_ref[1], st_ref[2],
              st_ref[3], st_ref[4], st_ref[5],
              fM_ref[:], fX_ref[:], fY_ref[:])
-    state = jax.lax.fori_loop(0, TD, body, state)
+    state = jax.lax.fori_loop(0, TD, body, state, unroll=TD)
     st_ref[0], st_ref[1], st_ref[2] = state[0], state[1], state[2]
     st_ref[3], st_ref[4], st_ref[5] = state[3], state[4], state[5]
     fM_ref[:], fX_ref[:], fY_ref[:] = state[6], state[7], state[8]

@@ -146,6 +146,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--454-skip-low-qscore", action="store_true",
                    dest="skip454_low_qscore",
                    help="accepted for compatibility")
+    r.add_argument("--find-orfs", action="store_true",
+                   help="find ORFs, align translations (DNA)")
+    r.add_argument("--min-orf-length", type=int, default=50,
+                   help="minimum ORF length to be considered (DNA)")
+    r.add_argument("--min-orf-coverage", type=float, default=None,
+                   help="minimum ORF coverage to be considered (DNA)")
+    r.add_argument("--fragments", action="store_true",
+                   help="short queries: place together")
 
     x = p.add_argument_group("execution")
     x.add_argument("--engine", default="auto",
@@ -516,8 +524,19 @@ def main(argv=None) -> int:
             use_fastq=not args.no_fastq,
             qscore_minimum=args.qscore_minimum,
             allow_skip_low_qscore=args.allow_skip_low_qscore)
-        mf = make_model_factory(args, data_type, reads)
-        res = pileup_align(reads, data_type, cfg, model_factory=mf)
+        if args.find_orfs and data_type == "dna":
+            from .pipeline.pileup import translated_pileup_align
+            from .models import alphabets as _alph
+            data_type = _alph.PROTEIN
+            mf = make_model_factory(args, data_type, reads)
+            res = translated_pileup_align(
+                reads, cfg, model_factory=mf,
+                min_orf_length=args.min_orf_length,
+                min_orf_coverage=args.min_orf_coverage,
+                mt=args.mt_translate)
+        else:
+            mf = make_model_factory(args, data_type, reads)
+            res = pileup_align(reads, data_type, cfg, model_factory=mf)
         _tick("pileup alignment")
         write_outputs(args, res.root, res.alignment, data_type)
         post_outputs(args, res.root, res.alignment, data_type)
@@ -563,7 +582,11 @@ def main(argv=None) -> int:
                 one_placement_only=args.one_placement_only,
                 align_bad_reads_at_root=args.align_bad_reads_at_root,
                 use_identity_score=args.use_identity_score,
-                use_target_normalised_score=args.use_target_normalised_score)
+                use_target_normalised_score=args.use_target_normalised_score,
+                find_orfs=args.find_orfs,
+                min_orf_length=args.min_orf_length,
+                min_orf_coverage=args.min_orf_coverage,
+                mt=args.mt_translate)
             outcome = place_queries(res, queries, data_type, cfg,
                                     model_factory=mf, settings=settings)
             res = outcome.result

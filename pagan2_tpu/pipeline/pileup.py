@@ -206,6 +206,94 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                         consensus=consensus, discarded=discarded)
 
 
+def translated_pileup_align(reads: list[FastaEntry],
+                            config: PileupConfig | None = None,
+                            model_factory: ModelFactory | None = None,
+                            min_orf_length: int = 50,
+                            min_orf_coverage: float | None = None,
+                            mt: bool = False) -> PileupResult:
+    """Pileup with ORF search (--pileup --find-orfs on DNA reads):
+    each read's six-frame ORFs are aligned as protein against the growing
+    root; the best ORF by overlap wins and is accepted under the usual
+    overlap/identity thresholds
+    (Reads_aligner::translated_pileup_alignment,
+    reads_aligner.cpp:266-370). Deviation from the reference: the root is
+    the first read's longest ORF (the reference relies on the input
+    parser having translated the root read)."""
+    from .orfs import find_orfs
+    config = config or PileupConfig()
+    if model_factory is None:
+        model_factory = ModelFactory(alph.PROTEIN)
+    settings = AlignSettings().for_reads()
+
+    def orf_leaf(name: str, orf) -> TreeNode:
+        n = TreeNode(name=name, dist=config.query_distance)
+        n.graph = build_leaf_graph(orf.translation, alph.PROTEIN)
+        n.graph.is_read_sequence = True
+        return n
+
+    root_orfs = find_orfs(reads[0].sequence, reads[0].name,
+                          min_orf_length, min_orf_coverage, mt=mt)
+    if not root_orfs:
+        raise ValueError("no ORFs in the first (root) read '%s'"
+                         % reads[0].name)
+    root_orf = max(root_orfs, key=lambda o: len(o.translation))
+    ref_root_name = reads[0].name
+    global_root = orf_leaf(ref_root_name, root_orf)
+    global_root.dist = 0.001
+
+    count = 2
+    attempts = {r.name: 0 for r in reads}
+    accepted = {ref_root_name}
+    model = model_factory.alignment_model(0.001 + config.query_distance)
+
+    for _round in range(config.query_cluster_attempts):
+        for read in reads[1:]:
+            if attempts[read.name] >= config.query_cluster_attempts:
+                continue
+            attempts[read.name] += 1
+            orfs = find_orfs(read.sequence, read.name, min_orf_length,
+                             min_orf_coverage, mt=mt)
+            if not orfs:
+                continue
+            best = None           # (node, orf, overlap, identity)
+            for orf in orfs:
+                rnode = orf_leaf(read.name, orf)
+                temp = TreeNode(name=f"#{count}#",
+                                children=[global_root, rnode])
+                temp.left.dist = 0.001
+                anc, _ = align_pair(
+                    global_root.graph, rnode.graph, model, settings,
+                    left_branch_length=0.001,
+                    right_branch_length=config.query_distance,
+                    is_reads_sequence=True, engine=config.engine)
+                anc.is_read_sequence = True
+                temp.graph = anc
+                ov, ident = read_alignment_scores(
+                    temp, read.name, ref_root_name,
+                    overlap_with_any=config.overlap_with_any)
+                # best-ORF rule of reads_aligner.cpp:319-320
+                if best is None or ov > best[2] or \
+                        (ov == best[2] and ov > ident):
+                    best = (temp, orf, ov, ident)
+            node, orf, ov, ident = best
+            if ov > config.min_query_overlap and \
+                    ident > config.min_query_identity:
+                node.right.name = read.name + "_orf1"
+                node.right.comment = "[%d.%d.%d]" % (orf.frame,
+                                                     orf.start + 1,
+                                                     orf.end + 1)
+                global_root = node
+                count += 1
+                accepted.add(read.name)
+                attempts[read.name] = config.query_cluster_attempts
+
+    discarded = [r.name for r in reads[1:] if r.name not in accepted]
+    alignment = _extract(global_root)
+    return PileupResult(root=global_root, alignment=alignment,
+                        discarded=discarded)
+
+
 def _extract(root: TreeNode) -> list[FastaEntry]:
     from .progressive import extract_alignment
     if root.is_leaf:

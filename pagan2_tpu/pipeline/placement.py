@@ -47,6 +47,10 @@ class PlacementConfig:
     use_identity_score: bool = False          # --use-identity-score
     use_target_normalised_score: bool = False  # --use-target-normalised-score
     engine: str = "auto"
+    find_orfs: bool = False           # --find-orfs (DNA queries vs
+    min_orf_length: int = 50          #   protein reference)
+    min_orf_coverage: float | None = None
+    mt: bool = False
 
 
 @dataclass
@@ -283,6 +287,37 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
         nodes_map = _nodes_by_name(tree)
         # ---- target selection (find_nodes_for_query, :1996-2278) ----
         cand = _candidate_names(tree, cfg)
+
+        if cfg.find_orfs:
+            # translated placement (translated_query_placement_one,
+            # reads_aligner.cpp:~2450+): enumerate six-frame ORFs of the
+            # DNA query, choose the ORF scoring best against any
+            # candidate node, place its protein translation
+            from .orfs import find_orfs as _find_orfs
+            orfs = _find_orfs(entry.sequence, entry.name,
+                              cfg.min_orf_length, cfg.min_orf_coverage,
+                              mt=cfg.mt)
+            if not orfs:
+                discarded.append(entry)
+                continue
+
+            def orf_score(o):
+                g = build_leaf_graph(o.translation, data_type)
+                g.is_read_sequence = True
+                if len(cand) == 1:
+                    return len(o.translation)
+                return max(_read_match_score(nodes_map[nm], g, model,
+                                             settings, cfg)
+                           for nm in cand)
+
+            best_orf = max(orfs, key=orf_score)
+            entry = FastaEntry(
+                name=entry.name + "_orf1",
+                sequence=best_orf.translation,
+                comment="[%d.%d.%d]" % (best_orf.frame,
+                                        best_orf.start + 1,
+                                        best_orf.end + 1),
+                dna_sequence=entry.sequence)
         best_score = -float("inf")
         best_nodes: list[str] = []
         best_strand_rev = False
