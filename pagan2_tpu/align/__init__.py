@@ -46,6 +46,9 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         aligner = PairAligner(left, right, model, settings,
                               left_branch_length, right_branch_length)
         end = aligner.fill()
+        from ..io import plots
+        if plots.posterior_sink_active():
+            plots.add_posterior_figure(aligner)
         if settings.sample_path:
             path, _send = aligner.sample_path(rng)
         else:
@@ -81,17 +84,61 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                 if band is None and use_anchors and \
                         min(left.num_sites(), right.num_sites()) > \
                         anchor_min_sites:
-                    from .anchors import define_tunnel_for_graphs
-                    upper, lower, _blocks, cov = \
+                    from .anchors import (define_tunnel_for_graphs,
+                                          replace_largest_block_with_gap,
+                                          tunnel_coverage)
+                    upper, lower, blocks, cov = \
                         define_tunnel_for_graphs(
                             left, right,
                             use_prefix_anchors=settings.use_prefix_anchors,
                             prefix_hit_length=settings.prefix_hit_length,
-                            width=settings.anchors_offset)
+                            width=settings.anchors_offset,
+                            threshold_total=settings.anchor_threshold_total,
+                            threshold_partly=settings.anchor_threshold_partly)
                     band = (upper, lower)
                     # viterbi_alignment.cpp:176-179
                     log_out("Computing %.0f%% of DP matrix." % (cov * 100),
                             1)
+                    # skip-if-poorly-anchored placement heuristic
+                    # (node.cpp:155-186; active only when the CLI set
+                    # anchoring_threshold < 1 for a query run)
+                    if cov > settings.anchoring_threshold:
+                        log_out("anchoring coverage %.3f is above the "
+                                "threshold. Skipping the full alignment."
+                                % cov, 1)
+                        return None, None
+                    # memory budget + --force-gap rescue loop
+                    # (node.cpp:100-152, settings.cpp:187-190). Our
+                    # banded fill stores 3 f32 score planes + 1 int8
+                    # backpointer per in-band cell (13 B/cell vs the
+                    # reference's ~195 B across its three matrices).
+                    L1 = left.num_sites() - 1
+                    R1 = right.num_sites() - 1
+                    limit = settings.memory_limit_mb * 1024 * 1024
+                    while True:
+                        cells = cov * float(L1) * float(R1)
+                        mem = int(cells * 13) + 50 * 1024 * 1024
+                        if mem <= limit:
+                            break
+                        if not settings.force_gap:
+                            raise MemoryError(
+                                "Memory usage over limits (~%d bytes, "
+                                "allowed %d). Allow more RAM "
+                                "(--memory-for-single-alignment) or "
+                                "--force-gap to continue." % (mem, limit))
+                        log_out("Memory usage over limits, replacing "
+                                "largest poorly aligned block with a "
+                                "gap.", 1)
+                        squeezed = replace_largest_block_with_gap(
+                            band[0], band[1], blocks,
+                            threshold=settings.force_gap_threshold)
+                        if squeezed is None:
+                            raise MemoryError(
+                                "Memory usage over limits (no more gaps "
+                                "to force); allow more RAM or decrease "
+                                "force-gap-threshold to continue.")
+                        band = squeezed
+                        cov = tunnel_coverage(band[0], band[1], L1, R1)
                 if band is not None:
                     from .viterbi_banded import band_windows, \
                         banded_align_path
@@ -122,6 +169,10 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         aligner = PairAligner(left, right, model, settings,
                               left_branch_length, right_branch_length)
         path, end = aligner.align()
+        if settings.compute_full_score:
+            from ..io import plots
+            if plots.posterior_sink_active():
+                plots.add_posterior_figure(aligner)
 
     anc = build_ancestral_graph(left, right, path, model, settings,
                                 left_branch_length, right_branch_length,

@@ -73,7 +73,8 @@ def _create_sites(anc, left, right, path, model, s,
             anc.site_bcount_slu[idx] = bcount if not pp.real_site else 0
             anc.site_bdist_slu[idx] = bdist if not pp.real_site else 0.0
             if consensus:
-                _site_consensus(anc, idx, left, l_pos, right, -1, is_dna)
+                _site_consensus(anc, idx, left, l_pos, right, -1, is_dna,
+                                s.use_duplicate_weights)
             l_pos += 1
         elif pp.mp.matrix == Y_MAT:
             rc = right.states[r_pos]
@@ -92,7 +93,8 @@ def _create_sites(anc, left, right, path, model, s,
             anc.site_bcount_slu[idx] = bcount if not pp.real_site else 0
             anc.site_bdist_slu[idx] = bdist if not pp.real_site else 0.0
             if consensus:
-                _site_consensus(anc, idx, left, -1, right, r_pos, is_dna)
+                _site_consensus(anc, idx, left, -1, right, r_pos, is_dna,
+                                s.use_duplicate_weights)
             r_pos += 1
         else:  # M_MAT
             lc = left.states[l_pos]
@@ -104,7 +106,8 @@ def _create_sites(anc, left, right, path, model, s,
                                support=support, child_l=l_pos, child_r=r_pos,
                                ambiguous=amb)
             if consensus:
-                _site_consensus(anc, idx, left, l_pos, right, r_pos, is_dna)
+                _site_consensus(anc, idx, left, l_pos, right, r_pos, is_dna,
+                                s.use_duplicate_weights)
             l_pos += 1
             r_pos += 1
 
@@ -117,14 +120,19 @@ def _read1(s, is_x):
     return -1  # pair-end read1 length wiring arrives with pair-end support
 
 
-def _site_consensus(anc, idx, left, lp, right, rp, is_dna):
+def _site_consensus(anc, idx, left, lp, right, rp, is_dna,
+                    use_duplicate_weights=False):
     """compute_site_consensus (basic_alignment.h:161-429): accumulate
-    A/C/G/T pileup counts (and leaf contributions) at matched sites."""
+    A/C/G/T pileup counts (and leaf contributions) at matched sites.
+    NumDuplicates=# weighting only under --use-duplicate-weights
+    (basic_alignment.h:165-171; nb. the reference tests the misspelled
+    "use-duplicate-weigths" there, so its binary never weights)."""
     if not is_dna:
         return
     for (seq, p) in ((left, lp), (right, rp)):
         if p < 0:
             continue
+        nd = seq.num_duplicates if use_duplicate_weights else 1
         if seq.sumA[p] or seq.sumC[p] or seq.sumG[p] or seq.sumT[p]:
             anc.sumA[idx] += seq.sumA[p]
             anc.sumC[idx] += seq.sumC[p]
@@ -133,13 +141,13 @@ def _site_consensus(anc, idx, left, lp, right, rp, is_dna):
         else:
             sym = seq.symbols[p].upper()
             if sym == "A":
-                anc.sumA[idx] += seq.num_duplicates
+                anc.sumA[idx] += nd
             elif sym == "C":
-                anc.sumC[idx] += seq.num_duplicates
+                anc.sumC[idx] += nd
             elif sym == "G":
-                anc.sumG[idx] += seq.num_duplicates
+                anc.sumG[idx] += nd
             elif sym == "T":
-                anc.sumT[idx] += seq.num_duplicates
+                anc.sumT[idx] += nd
 
 
 # ----------------------------------------------------------------------
@@ -234,7 +242,14 @@ def _transfer_child_edge(anc, child_seq, child_eid, child_index, branch_length,
     if s.weight_edges:
         w1 = anc.posterior_support[child_index[child_seq.edges.start[child_eid]]]
         w2 = anc.posterior_support[child_index[child_seq.edges.end[child_eid]]]
-        edge_weight = float(np.sqrt(w1) * np.sqrt(w2))
+        # --no-weight-transform / --cuberoot-weight-transform
+        # (viterbi_alignment.cpp:223-227)
+        if s.weight_transform == "plain":
+            edge_weight = float(w1) * float(w2)
+        elif s.weight_transform == "cuberoot":
+            edge_weight = float(np.cbrt(w1) * np.cbrt(w2))
+        else:
+            edge_weight = float(np.sqrt(w1) * np.sqrt(w2))
 
     start = child_index[child_seq.edges.start[child_eid]]
     end = child_index[child_seq.edges.end[child_eid]]

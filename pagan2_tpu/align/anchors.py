@@ -390,4 +390,22 @@ def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
     g2 = graph_strings(right, True)
     upper, lower, blocks = define_tunnel(hits, g1, g2, width)
     cov = tunnel_coverage(upper, lower, len(g1), len(g2))
+    if R_PLOT_PREFIX is not None:
+        from ..io.plots import write_anchors_for_R
+        global _R_PLOT_COUNT
+        _R_PLOT_COUNT += 1
+        write_anchors_for_R(hits, upper, lower,
+                            "%s_%d.r" % (R_PLOT_PREFIX, _R_PLOT_COUNT))
     return upper, lower, blocks, cov
+
+
+# --plot-anchors-for-R (find_anchors.cpp:870-928): when set, every
+# tunnel definition also dumps its hits+bounds as <prefix>_<n>.r
+R_PLOT_PREFIX: str | None = None
+_R_PLOT_COUNT = 0
+
+
+def set_r_plot_prefix(prefix: str | None):
+    global R_PLOT_PREFIX, _R_PLOT_COUNT
+    R_PLOT_PREFIX = prefix
+    _R_PLOT_COUNT = 0

@@ -34,6 +34,32 @@ class AlignSettings:
     anchor_min_sites: int = 3000
     prefix_hit_length: int = 30
     anchors_offset: int = 15
+    # hit-overlap distance thresholds for anchor acceptance
+    # (--ncbi-threshold-overlap-total/-partly, settings.cpp:180-181)
+    anchor_threshold_total: int = 50
+    anchor_threshold_partly: int = 400
+    # edge-weight transform for child->ancestor edge transfer when
+    # weight_edges is on: sqrt (default) / plain / cuberoot
+    # (viterbi_alignment.cpp:223-227, basic_alignment.h:484-486)
+    weight_transform: str = "sqrt"
+    # intended semantics of --use-duplicate-weights: weight pileup
+    # consensus counts by NumDuplicates=# (basic_alignment.h:165 reads
+    # the misspelled "use-duplicate-weigths", so the reference binary
+    # never actually fires it; we implement the documented behaviour)
+    use_duplicate_weights: bool = False
+    # memory budget + force-gap rescue (settings.cpp:187-190,
+    # node.cpp:100-152). memory_limit_mb bounds the per-pair DP
+    # footprint; with force_gap, anchor-free blocks larger than
+    # force_gap_threshold are squeezed to forced gaps until it fits.
+    memory_limit_mb: int = 4000
+    force_gap: bool = False
+    force_gap_threshold: int = 40000
+    force_gap_wide_tunnel: bool = False
+    # placement-only skip heuristic (node.cpp:155-186): when anchoring
+    # leaves more than this fraction of the matrix to compute, skip the
+    # alignment entirely (Settings::tunneling_coverage; only activated
+    # when a queryfile is present, settings.cpp:392-397)
+    anchoring_threshold: float = 1.0
 
     def for_reads(self) -> "AlignSettings":
         """set_reads_alignment_settings (basic_alignment.h:572-586)."""

@@ -46,6 +46,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output inferred evolutionary events")
     g.add_argument("--output-graph", action="store_true",
                    help="write root graph (.grp)")
+    g.add_argument("--output-consensus", action="store_true",
+                   help="write consensus rows of read subtrees to "
+                        "<outfile>_consensus.fas")
+    g.add_argument("--show-contig-ancestor", action="store_true",
+                   help="show ancestral states at read-free contig sites")
+    g.add_argument("--inlude-parent-in-contig", action="store_true",
+                   dest="include_parent_in_contig",
+                   help="add reference parent row to contig output "
+                        "(reference's spelling)")
+    g.add_argument("--mpost-graph-file", default=None,
+                   help="write sequence graphs as MetaPost figures")
+    g.add_argument("--output-leaf-graphs", action="store_true",
+                   help="include leaf graphs in the MetaPost output")
+    g.add_argument("--output-alignment-graphs", action="store_true",
+                   help="include alignment graphs in the MetaPost output")
+    g.add_argument("--mpost-posterior-plot-file", default=None,
+                   help="write DP posterior heatmaps as MetaPost "
+                        "(implies --full-probability)")
+    g.add_argument("--plot-slope-up", action="store_true",
+                   help="posterior plot y axis increasing upward")
+    g.add_argument("--plot-anchors-for-R", dest="plot_anchors_for_r",
+                   default=None,
+                   help="dump anchor hits + tunnel bounds as R scripts")
     g.add_argument("--output-nhx-tree", "--guidetree", action="store_true",
                    dest="output_nhx_tree",
                    help="output alignment guidetree (with NHX tags)")
@@ -114,6 +137,20 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--match-skips-confirm-insertion", type=int)
     a.add_argument("--branch-skip-weight-per-distance", type=float)
     a.add_argument("--branch-skip-penalty-per-branch", type=float)
+    a.add_argument("--no-weight-transform", action="store_true",
+                   help="no weight transform for sampled edges")
+    a.add_argument("--cuberoot-weight-transform", action="store_true",
+                   help="cuberoot weight transform for sampled edges")
+    a.add_argument("--memory-for-single-alignment", type=int, default=4000,
+                   help="MB of memory allowed for a single alignment")
+    a.add_argument("--force-gap", action="store_true",
+                   help="force gaps in poorly prealigned areas when "
+                        "exceeding memory limits")
+    a.add_argument("--force-gap-threshold", type=int, default=40000,
+                   help="min size (height*length) of empty tunnel blocks "
+                        "removed when over the memory limit")
+    a.add_argument("--force-gap-wide-tunnel", action="store_true",
+                   help="use wide tunnel when removing blocks")
 
     r = p.add_argument_group("reads/pileup")
     r.add_argument("--pileup", "--pileup-alignment", action="store_true",
@@ -130,10 +167,49 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--query-distance", type=float, default=0.1)
     r.add_argument("--query-cluster-attempts", type=int, default=1)
     r.add_argument("--overlap-with-any", action="store_true")
-    r.add_argument("--terminal-nodes", action="store_true")
-    r.add_argument("--internal-nodes", action="store_true")
-    r.add_argument("--all-nodes", action="store_true")
+    r.add_argument("--terminal-nodes", "--test-every-terminal-node",
+                   action="store_true", dest="terminal_nodes")
+    r.add_argument("--internal-nodes", "--test-every-internal-node",
+                   action="store_true", dest="internal_nodes")
+    r.add_argument("--all-nodes", "--test-every-node",
+                   action="store_true", dest="all_nodes")
     r.add_argument("--one-placement-only", action="store_true")
+    r.add_argument("--exhaustive-placement", action="store_true",
+                   help="no multiple placement on score ties")
+    r.add_argument("--guided", action="store_true",
+                   help="guided placement with TID tags")
+    r.add_argument("--no-preselection", action="store_true",
+                   help="no candidate preselection; use TID tags")
+    r.add_argument("--assembly", action="store_true",
+                   help="placement at subroot only (for assembly)")
+    r.add_argument("--align-reads-at-root", action="store_true",
+                   help="ignore tags and align reads at root (pileup)")
+    r.add_argument("--score-only-ungapped", action="store_true",
+                   help="score query placement only on ungapped sites")
+    r.add_argument("--score-ungapped-limit", type=float, default=0.1,
+                   help="max gap proportion for a scored site")
+    r.add_argument("--anchoring-threshold", type=float, default=1.0,
+                   help="anchoring coverage threshold for skipping "
+                        "(placement only)")
+    r.add_argument("--use-duplicate-weights", action="store_true",
+                   help="use NumDuplicates=# to weight consensus counts")
+    r.add_argument("--rank-reads-for-nodes", action="store_true",
+                   help="rank reads within nodes for alignment")
+    r.add_argument("--tid-for-subroot", action="store_true",
+                   help="accepted for compatibility (TID bookkeeping "
+                        "of spliced subroots)")
+    r.add_argument("--quick", action="store_true",
+                   help="quick reference-alignment reconstruction "
+                        "(single model at distance 0.5)")
+    r.add_argument("--perfect-reference", action="store_true",
+                   help="assume perfect reference alignment")
+    r.add_argument("--recompute-reference-alignment-model",
+                   action="store_true", help="accepted for compatibility")
+    r.add_argument("--no-read-ordering", action="store_true",
+                   help="accepted for compatibility (dead flag in the "
+                        "reference too)")
+    r.add_argument("--fragments", action="store_true",
+                   help="short queries: place together")
     r.add_argument("--align-bad-reads-at-root", action="store_true")
     r.add_argument("--use-identity-score", action="store_true")
     r.add_argument("--use-target-normalised-score", action="store_true")
@@ -152,8 +228,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minimum ORF length to be considered (DNA)")
     r.add_argument("--min-orf-coverage", type=float, default=None,
                    help="minimum ORF coverage to be considered (DNA)")
-    r.add_argument("--fragments", action="store_true",
-                   help="short queries: place together")
 
     x = p.add_argument_group("execution")
     x.add_argument("--engine", default="auto",
@@ -181,6 +255,57 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--use-prefix-anchors", action="store_true")
     x.add_argument("--prefix-hit-length", type=int, default=30)
     x.add_argument("--anchors-offset", type=int, default=15)
+    x.add_argument("--hmmer-anchors", action="store_true",
+                   help="accepted for compatibility (native k-mer "
+                        "anchoring replaces the hmmer subprocess)")
+    x.add_argument("--ncbi-threshold-overlap-total", type=int, default=50,
+                   help="distance for fully overlapping hits to be "
+                        "accepted as anchors")
+    x.add_argument("--ncbi-threshold-overlap-partly", type=int,
+                   default=400,
+                   help="distance for partially overlapping hits to be "
+                        "accepted as anchors")
+    x.add_argument("--no-bppancestors", action="store_true",
+                   help="parsimony ancestors instead of ML")
+    x.add_argument("--raxml-tree", action="store_true",
+                   help="guide-tree method selector; the native k-mer "
+                        "NJ inference is used (documented deviation)")
+    x.add_argument("--bppdist-tree", action="store_true",
+                   help="guide-tree method selector; the native k-mer "
+                        "NJ inference is used (documented deviation)")
+    x.add_argument("--docker", action="store_true",
+                   help="accepted for compatibility")
+    x.add_argument("--full-help", action="help",
+                   help="show this help message (alias of --help)")
+
+    # external-tool tuning accepted for CLI compatibility: the NCBI
+    # BLAST / Exonerate subprocesses of the reference are replaced by
+    # the native k-mer/prefix anchoring and candidate scoring
+    # (settings.cpp:154-186)
+    c = p.add_argument_group("external-tool compatibility (no-ops)")
+    for flag, kw in [
+            ("--no-ncbi", dict(action="store_true")),
+            ("--fast-placement", dict(action="store_true")),
+            ("--very-fast-placement", dict(action="store_true")),
+            ("--old-placement", dict(action="store_true")),
+            ("--own-placement", dict(action="store_true")),
+            ("--use-exonerate-local", dict(action="store_true")),
+            ("--use-exonerate-gapped", dict(action="store_true")),
+            ("--keep-despite-exonerate-fails", dict(action="store_true")),
+            ("--exonerate-local-keep-best", dict(type=int, default=6)),
+            ("--exonerate-local-keep-above", dict(type=float)),
+            ("--exonerate-gapped-keep-best", dict(type=int, default=3)),
+            ("--exonerate-gapped-keep-above", dict(type=float)),
+            ("--exonerate-hit-length", dict(type=int, default=30)),
+            ("--exonerate-hit-score", dict(type=int)),
+            ("--exonerate-hit-trim", dict(type=int, default=5)),
+            ("--blast-wordsize", dict(type=int, default=-1)),
+            ("--blast-word-threshold", dict(type=int, default=-1)),
+            ("--blast-match-reward", dict(type=int, default=-1)),
+            ("--blast-mismatch-penalty", dict(type=int, default=999)),
+            ("--blast-scoring-matrix", dict(default="BLOSUM62")),
+    ]:
+        c.add_argument(flag, help="accepted for compatibility", **kw)
     return p
 
 
@@ -264,6 +389,11 @@ def make_model_factory(args, data_type, entries):
 def make_settings(args):
     from .align import AlignSettings
     from dataclasses import replace
+    weight_transform = "sqrt"
+    if args.no_weight_transform:
+        weight_transform = "plain"
+    if args.cuberoot_weight_transform:
+        weight_transform = "cuberoot"
     s = AlignSettings(
         no_terminal_edges=args.no_terminal_edges,
         reduced_terminal_gap_penalties=not args.no_reduced_terminal_penalties,
@@ -271,12 +401,25 @@ def make_settings(args):
         use_prefix_anchors=args.use_prefix_anchors,
         prefix_hit_length=args.prefix_hit_length,
         anchors_offset=args.anchors_offset,
-        compute_full_score=args.full_probability,
+        anchor_threshold_total=args.ncbi_threshold_overlap_total,
+        anchor_threshold_partly=args.ncbi_threshold_overlap_partly,
+        compute_full_score=(args.full_probability or
+                            args.mpost_posterior_plot_file is not None),
         sample_path=args.sample_path,
         sample_additional_paths=args.sample_additional_paths,
         # set_additional_settings (basic_alignment.h:618-619)
         weight_edges=(args.weight_sampled_edges and
                       args.sample_additional_paths > 0),
+        weight_transform=weight_transform,
+        use_duplicate_weights=args.use_duplicate_weights,
+        memory_limit_mb=args.memory_for_single_alignment,
+        force_gap=args.force_gap,
+        force_gap_threshold=args.force_gap_threshold,
+        force_gap_wide_tunnel=args.force_gap_wide_tunnel,
+        # the skip heuristic only works for placement
+        # (settings.cpp:392-397)
+        anchoring_threshold=(args.anchoring_threshold if args.queryfile
+                             else 1.0),
     )
     if args.seed is not None:
         from .align import set_sampling_seed
@@ -327,6 +470,28 @@ def write_outputs(args, tree, alignment, data_type):
     if tree is not None and args.output_nhx_tree:
         from .pipeline.postprocess import write_nhx_tree
         write_nhx_tree(tree, out, "nhx_tree")
+    if tree is not None and args.mpost_graph_file:
+        from .io.plots import write_mpost_sequence_graphs
+        write_mpost_sequence_graphs(
+            tree, args.mpost_graph_file,
+            include_leaves=args.output_leaf_graphs,
+            include_alignment_graphs=args.output_alignment_graphs)
+    if args.mpost_posterior_plot_file:
+        from .io.plots import write_mpost_posterior_plots
+        write_mpost_posterior_plots(args.mpost_posterior_plot_file,
+                                    slope_up=args.plot_slope_up)
+    if tree is not None and args.output_consensus:
+        from .pipeline.pileup import reconstruct_contigs, PileupConfig
+        ccfg = PileupConfig(
+            consensus_minimum=args.consensus_minimum,
+            consensus_minimum_proportion=args.consensus_minimum_proportion)
+        rows = reconstruct_contigs(
+            tree, ccfg, consensus_only=True,
+            include_parent=args.include_parent_in_contig,
+            show_ancestor=args.show_contig_ancestor)
+        if rows:
+            from .io.fasta import write_fasta
+            write_fasta(rows, out + "_consensus.fas")
 
 
 def post_outputs(args, tree, alignment, data_type):
@@ -501,6 +666,16 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", plat)
 
+    if args.mpost_posterior_plot_file:
+        from .io.plots import open_posterior_sink
+        open_posterior_sink()
+    if args.plot_anchors_for_r:
+        from .align.anchors import set_r_plot_prefix
+        set_r_plot_prefix(args.plot_anchors_for_r)
+    if args.raxml_tree or args.bppdist_tree:
+        print("note: --raxml-tree/--bppdist-tree map to the native "
+              "k-mer NJ guide-tree inference", file=sys.stderr)
+
     if args.pileup:
         if not args.queryfile:
             print("--pileup requires -q/--queryfile", file=sys.stderr)
@@ -524,6 +699,7 @@ def main(argv=None) -> int:
             use_fastq=not args.no_fastq,
             qscore_minimum=args.qscore_minimum,
             allow_skip_low_qscore=args.allow_skip_low_qscore)
+        psettings = make_settings(args)
         if args.find_orfs and data_type == "dna":
             from .pipeline.pileup import translated_pileup_align
             from .models import alphabets as _alph
@@ -533,10 +709,11 @@ def main(argv=None) -> int:
                 reads, cfg, model_factory=mf,
                 min_orf_length=args.min_orf_length,
                 min_orf_coverage=args.min_orf_coverage,
-                mt=args.mt_translate)
+                mt=args.mt_translate, settings=psettings)
         else:
             mf = make_model_factory(args, data_type, reads)
-            res = pileup_align(reads, data_type, cfg, model_factory=mf)
+            res = pileup_align(reads, data_type, cfg, model_factory=mf,
+                               settings=psettings)
         _tick("pileup alignment")
         write_outputs(args, res.root, res.alignment, data_type)
         post_outputs(args, res.root, res.alignment, data_type)
@@ -562,8 +739,31 @@ def main(argv=None) -> int:
         from .pipeline.refread import read_reference_alignment
         res = read_reference_alignment(
             entries, tree_text, data_type=data_type, settings=settings,
-            model_factory=mf)
-        if args.queryfile:
+            model_factory=mf, quick=args.quick,
+            perfect_reference=args.perfect_reference)
+        if args.queryfile and args.align_reads_at_root:
+            # reads_aligner.cpp:92: --align-reads-at-root uses the
+            # pileup path with the reference root as the start graph
+            from .pipeline.pileup import pileup_align, PileupConfig
+            queries = read_sequences(args.queryfile)
+            pcfg = PileupConfig(
+                both_strands=args.both_strands,
+                min_query_overlap=args.min_query_overlap,
+                min_query_identity=args.min_query_identity,
+                query_cluster_attempts=args.query_cluster_attempts,
+                query_distance=args.query_distance,
+                overlap_with_any=args.overlap_with_any,
+                engine=args.engine)
+            pres = pileup_align(queries, data_type, pcfg,
+                                model_factory=mf, settings=settings,
+                                root_node=res.tree)
+            from .pipeline.progressive import ProgressiveResult
+            res = ProgressiveResult(tree=pres.root,
+                                    alignment=pres.alignment)
+            if not args.silent:
+                print(f"placed {len(queries) - len(pres.discarded)} "
+                      f"queries at root, {len(pres.discarded)} discarded")
+        elif args.queryfile:
             from .pipeline.placement import place_queries, PlacementConfig
             queries = read_sequences(args.queryfile)
             if dna_map is not None:
@@ -586,7 +786,12 @@ def main(argv=None) -> int:
                 find_orfs=args.find_orfs,
                 min_orf_length=args.min_orf_length,
                 min_orf_coverage=args.min_orf_coverage,
-                mt=args.mt_translate)
+                mt=args.mt_translate,
+                exhaustive_placement=args.exhaustive_placement,
+                guided=args.guided or args.no_preselection,
+                score_only_ungapped=args.score_only_ungapped,
+                score_ungapped_limit=args.score_ungapped_limit,
+                assembly=args.assembly)
             outcome = place_queries(res, queries, data_type, cfg,
                                     model_factory=mf, settings=settings)
             res = outcome.result
@@ -649,8 +854,17 @@ def main(argv=None) -> int:
 
     full = res.alignment
     if args.output_ancestors or args.events:
-        from .pipeline.ancestors import reconstruct_parsimony_ancestors
-        reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
+        from .pipeline.ancestors import (reconstruct_parsimony_ancestors,
+                                         reconstruct_ml_ancestors)
+        if args.no_bppancestors or len(entries) >= 500:
+            reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
+        else:
+            # ML ancestors (the in-framework BppAncestors equivalent,
+            # input_output_parser.cpp:586-612; parsimony above 500 seqs)
+            try:
+                reconstruct_ml_ancestors(res.tree, mf)
+            except Exception:
+                reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
         from .pipeline.progressive import extract_alignment
         full = extract_alignment(res.tree, True, data_type=data_type)
         if args.output_ancestors:

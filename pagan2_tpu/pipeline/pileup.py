@@ -107,7 +107,9 @@ def read_alignment_scores(node: TreeNode, read_name: str,
 
 def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                  config: PileupConfig | None = None,
-                 model_factory: ModelFactory | None = None) -> PileupResult:
+                 model_factory: ModelFactory | None = None,
+                 settings: AlignSettings | None = None,
+                 root_node: TreeNode | None = None) -> PileupResult:
     config = config or PileupConfig()
     if data_type is None:
         from ..io.fasta import guess_data_type
@@ -123,7 +125,7 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
         else:
             model_factory = ModelFactory(data_type)
 
-    settings = AlignSettings().for_reads()
+    settings = (settings or AlignSettings()).for_reads()
     gkw = dict(mode454=config.mode454, homopolymer=config.homopolymer)
 
     def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
@@ -139,9 +141,17 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
         n.graph.num_duplicates = read.num_duplicates
         return n
 
-    ref_root_name = reads[0].name
-    global_root = leaf(reads[0])
-    global_root.dist = 0.001
+    # --align-reads-at-root: stack every read onto an existing root
+    # (reads_aligner.cpp:92,156-158: start_i = 0 with a ref alignment)
+    if root_node is not None:
+        ref_root_name = root_node.name
+        global_root = root_node
+        read_list = reads
+    else:
+        ref_root_name = reads[0].name
+        global_root = leaf(reads[0])
+        global_root.dist = 0.001
+        read_list = reads[1:]
 
     count = 2
     attempts = {r.name: 0 for r in reads}
@@ -149,7 +159,7 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
     model = model_factory.alignment_model(0.001 + config.query_distance)
 
     for _round in range(config.query_cluster_attempts):
-        for read in reads[1:]:
+        for read in read_list:
             if attempts[read.name] >= config.query_cluster_attempts:
                 continue
             attempts[read.name] += 1
@@ -166,6 +176,8 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                                     is_reads_sequence=True,
                                     engine=config.engine,
                                     compute_consensus=config.use_consensus)
+                if anc is None:   # anchoring-threshold skip
+                    return None, -1.0, -1.0
                 anc.is_read_sequence = True
                 anc.has_read_descendants = True
                 temp.graph = anc
@@ -196,7 +208,7 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                 # rejection costs an extra attempt (reads_aligner.cpp:251)
                 attempts[read.name] += 1
 
-    discarded = [r.name for r in reads[1:] if r.name not in accepted]
+    discarded = [r.name for r in read_list if r.name not in accepted]
     alignment = _extract(global_root)
     consensus = None
     if config.use_consensus:
@@ -211,7 +223,9 @@ def translated_pileup_align(reads: list[FastaEntry],
                             model_factory: ModelFactory | None = None,
                             min_orf_length: int = 50,
                             min_orf_coverage: float | None = None,
-                            mt: bool = False) -> PileupResult:
+                            mt: bool = False,
+                            settings: AlignSettings | None = None
+                            ) -> PileupResult:
     """Pileup with ORF search (--pileup --find-orfs on DNA reads):
     each read's six-frame ORFs are aligned as protein against the growing
     root; the best ORF by overlap wins and is accepted under the usual
@@ -224,7 +238,7 @@ def translated_pileup_align(reads: list[FastaEntry],
     config = config or PileupConfig()
     if model_factory is None:
         model_factory = ModelFactory(alph.PROTEIN)
-    settings = AlignSettings().for_reads()
+    settings = (settings or AlignSettings()).for_reads()
 
     def orf_leaf(name: str, orf) -> TreeNode:
         n = TreeNode(name=name, dist=config.query_distance)
@@ -267,6 +281,8 @@ def translated_pileup_align(reads: list[FastaEntry],
                     left_branch_length=0.001,
                     right_branch_length=config.query_distance,
                     is_reads_sequence=True, engine=config.engine)
+                if anc is None:   # anchoring-threshold skip
+                    continue
                 anc.is_read_sequence = True
                 temp.graph = anc
                 ov, ident = read_alignment_scores(
@@ -323,6 +339,79 @@ def call_consensus(root: TreeNode, config: PileupConfig) -> str:
         c = _iupac_majority(sA, sC, sG, sT)
         out.append(c)
     return "".join(out)
+
+
+def reconstruct_contigs(root: TreeNode, config: PileupConfig,
+                        consensus_only: bool = False,
+                        include_parent: bool = False,
+                        show_ancestor: bool = False) -> list[FastaEntry]:
+    """Node::reconstruct_contigs (node.h:1894-2081): one consensus row
+    per maximal read-descendant subtree; --inlude-parent-in-contig [sic]
+    adds the reference parent row, --show-contig-ancestor shows the
+    ancestral state (lowercase) at read-free reference sites."""
+    out: list[FastaEntry] = []
+
+    def parent_name_of(node: TreeNode) -> str:
+        # find_first_nonread_left_parent: descend leftmost until a
+        # non-read node
+        n = node
+        while not n.is_leaf and n.graph is not None and \
+                getattr(n.left.graph, "is_read_sequence", False):
+            n = n.left
+        return n.left.name if not n.is_leaf else n.name
+
+    def walk(node: TreeNode, parent_is_read: bool):
+        g = node.graph
+        is_read = bool(g is not None and
+                       (g.is_read_sequence or
+                        getattr(g, "has_read_descendants", False)))
+        if not parent_is_read and is_read and g is not None:
+            pname = parent_name_of(node)
+            show_ref_insertions = False
+            if include_parent and not node.is_leaf:
+                ref_row = []
+                for j in range(1, g.num_sites() - 1):
+                    lj = g.child_l[j]
+                    st = node.left.graph.states[lj] if lj >= 0 else -1
+                    sym = (node.left.graph.symbols[lj]
+                           if lj >= 0 and st >= 0 else "-")
+                    ref_row.append(sym if sym not in ("", "0") else "-")
+                out.append(FastaEntry(name=pname,
+                                      sequence="".join(ref_row)))
+                show_ref_insertions = True
+            n_leaves = node.num_leaves()
+            min_num = int(n_leaves * config.consensus_minimum_proportion)
+            if min_num < config.consensus_minimum:
+                min_num = config.consensus_minimum
+            from ..graph.sequence_graph import XSKIPPED, YSKIPPED
+            seq = []
+            for j in range(1, g.num_sites() - 1):
+                sA, sC = g.sumA[j], g.sumC[j]
+                sG, sT = g.sumG[j], g.sumT[j]
+                in_ref = g.child_l[j] >= 0 and not node.is_leaf and \
+                    not getattr(node.left.graph, "is_read_sequence", False)
+                if in_ref and sA + sC + sG + sT == 0:
+                    if g.path_state[j] not in (XSKIPPED, YSKIPPED):
+                        sym = g.symbols[j]
+                        if show_ancestor and sym not in ("", "0"):
+                            seq.append(sym.lower())
+                        else:
+                            seq.append("n")
+                    elif show_ref_insertions:
+                        seq.append("-")
+                elif not in_ref and sA + sC + sG + sT < min_num:
+                    seq.append("-")
+                else:
+                    seq.append(_iupac_majority(sA, sC, sG, sT))
+            out.append(FastaEntry(name="consensus_" + pname,
+                                  sequence="".join(seq), comment=pname))
+            return
+        if not node.is_leaf:
+            walk(node.left, is_read)
+            walk(node.right, is_read)
+
+    walk(root, False)
+    return out
 
 
 def _iupac_majority(sA, sC, sG, sT):

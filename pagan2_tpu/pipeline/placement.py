@@ -51,6 +51,21 @@ class PlacementConfig:
     min_orf_length: int = 50          #   protein reference)
     min_orf_coverage: float | None = None
     mt: bool = False
+    # --exhaustive-placement: no multiple placement on score ties
+    # (reads_aligner.cpp:1936,2084: also retries exonerate-discarded
+    # reads against every node — our native scoring never discards, so
+    # only the tie rule applies)
+    exhaustive_placement: bool = False
+    # --guided / --no-preselection: restrict candidates to nodes whose
+    # NHX TID tag matches the query's TID= comment (settings.cpp:421-425)
+    guided: bool = False
+    # --score-only-ungapped / --score-ungapped-limit: drop alignment
+    # columns whose gap fraction >= limit from node scoring
+    # (reads_aligner.cpp:3933-3954)
+    score_only_ungapped: bool = False
+    score_ungapped_limit: float = 0.1
+    # --assembly: placement at the subroot only (settings.cpp:279)
+    assembly: bool = False
 
 
 @dataclass
@@ -68,9 +83,20 @@ def _node_sort_key(name: str):
     return (1, 0, name)
 
 
-def _candidate_names(tree: TreeNode, cfg: PlacementConfig) -> list[str]:
+def _candidate_names(tree: TreeNode, cfg: PlacementConfig,
+                     query_tid: str = "") -> list[str]:
     """get_target_node_names (reads_aligner.h): terminal / internal /
-    all candidate nodes (no TID tags: consider per flags, default all)."""
+    all candidate nodes; with --guided/--no-preselection, only nodes
+    whose NHX TID tag matches the query's TID= comment (falling back
+    to all nodes when the tree carries no tags)."""
+    if cfg.assembly:
+        return [tree.name]
+    if cfg.guided:
+        tagged = [n for n in tree.nodes_postorder()
+                  if getattr(n, "nhx_tid", "")]
+        if tagged:
+            return [n.name for n in tagged
+                    if not query_tid or n.nhx_tid == query_tid]
     if cfg.internal_nodes:
         nodes = [n for n in tree.nodes_postorder() if not n.is_leaf]
     elif cfg.terminal_nodes:
@@ -100,6 +126,8 @@ def _read_match_score(target: TreeNode, read_graph, model, settings,
                         left_branch_length=0.001,
                         right_branch_length=cfg.query_distance,
                         is_reads_sequence=True, engine=cfg.engine)
+    if anc is None:   # anchoring-threshold skip (node.cpp:155-186)
+        return -float("inf")
     lg, rg = target.graph, read_graph
     matching = 0
     subst = 0.0
@@ -108,6 +136,13 @@ def _read_match_score(target: TreeNode, read_graph, model, settings,
     for k in range(1, anc.num_sites() - 1):
         lj = anc.child_l[k]
         rj = anc.child_r[k]
+        if cfg.score_only_ungapped and (lj < 0 or rj < 0):
+            # --score-only-ungapped: columns whose gap fraction >=
+            # score-ungapped-limit are not scored
+            # (reads_aligner.cpp:3933-3954; for a 2-row temp node any
+            # gapped column is over the default 0.1 limit)
+            if 0.5 >= cfg.score_ungapped_limit:
+                continue
         if lj >= 0 and rj >= 0:
             s_read = rg.states[rj]
             s_tgt = lg.states[lj]
@@ -286,7 +321,13 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     for entry in queries:
         nodes_map = _nodes_by_name(tree)
         # ---- target selection (find_nodes_for_query, :1996-2278) ----
-        cand = _candidate_names(tree, cfg)
+        qtid = ""
+        if "TID=" in (entry.comment or ""):
+            qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
+        cand = _candidate_names(tree, cfg, qtid)
+        if not cand:
+            discarded.append(entry)
+            continue
 
         if cfg.find_orfs:
             # translated placement (translated_query_placement_one,
@@ -330,7 +371,8 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             for name in cand:
                 t = nodes_map[name]
                 sc = _read_match_score(t, fwd_graph, model, settings, cfg)
-                if sc == best_score and not cfg.one_placement_only:
+                if sc == best_score and not cfg.one_placement_only \
+                        and not cfg.exhaustive_placement:
                     best_nodes.append(name)
                 elif sc >= best_score:
                     best_score = sc
@@ -339,7 +381,8 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                 if rc_graph is not None:
                     sc = _read_match_score(t, rc_graph, model, settings,
                                            cfg)
-                    if sc == best_score and not cfg.one_placement_only:
+                    if sc == best_score and not cfg.one_placement_only \
+                        and not cfg.exhaustive_placement:
                         best_nodes.append(name)
                     elif sc >= best_score:
                         best_score = sc
@@ -371,6 +414,9 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                                     right_branch_length=cfg.query_distance,
                                     is_reads_sequence=True,
                                     engine=cfg.engine)
+                if anc is None:
+                    # anchoring-threshold skip (node.cpp:155-186)
+                    return None, -1.0, -1.0
                 anc.is_read_sequence = True
                 anc.has_read_descendants = True
                 node.graph = anc

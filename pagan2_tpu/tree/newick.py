@@ -137,19 +137,10 @@ def parse_newick(text: str) -> TreeNode:
             name.append(s[pos[0]])
             pos[0] += 1
         node.name = "".join(name).strip()
-        # branch length
-        if peek() == ":":
-            advance()
-            num = []
-            while pos[0] < len(s) and s[pos[0]] not in ",()[];":
-                num.append(s[pos[0]])
-                pos[0] += 1
-            try:
-                node.dist = float("".join(num))
-            except ValueError:
-                error(f"bad branch length {''.join(num)!r}")
-        # NHX comment
-        if peek() == "[":
+
+        def parse_comment():
+            # NHX comment, accepted both before and after the branch
+            # length ("(a,b)[&&NHX:TID=1]:0.1" and "(a,b):0.1[...]")
             depth = 0
             start = pos[0]
             while pos[0] < len(s):
@@ -165,6 +156,22 @@ def parse_newick(text: str) -> TreeNode:
             if "TID=" in comment:
                 tid = comment.split("TID=")[1]
                 node.nhx_tid = tid.split(":")[0].split("]")[0]
+
+        if peek() == "[":
+            parse_comment()
+        # branch length
+        if peek() == ":":
+            advance()
+            num = []
+            while pos[0] < len(s) and s[pos[0]] not in ",()[];":
+                num.append(s[pos[0]])
+                pos[0] += 1
+            try:
+                node.dist = float("".join(num))
+            except ValueError:
+                error(f"bad branch length {''.join(num)!r}")
+        if peek() == "[":
+            parse_comment()
         return node
 
     def peek():
