@@ -48,7 +48,17 @@ def find_prefix_anchors(s1: str, s2: str, min_length: int = 30
     """Shared-prefix anchors via suffix sorting (find_anchors.cpp:35-127):
     sort all suffixes of both strings together; adjacent suffixes from
     different strings with a shared prefix >= min_length become hits;
-    keep greedily by length, dropping overlaps."""
+    keep greedily by length, dropping overlaps.
+
+    The C++ runtime (pagan2_tpu/native) serves this when available —
+    the Python path below materialises every suffix (O(n^2) memory) and
+    only remains as the parity fallback for short inputs."""
+    from .. import native
+    res = native.prefix_anchors(s1, s2, min_length)
+    if res is not None:
+        o1, o2, ol = res
+        return [SubstringHit(int(a), int(b), int(l), int(l))
+                for a, b, l in zip(o1, o2, ol)]
     n1, n2 = len(s1), len(s2)
     suffixes = sorted(
         [(s1[i:], 0, i) for i in range(n1)] +
@@ -89,7 +99,14 @@ def find_kmer_anchors(s1: str, s2: str, k: int = 16,
     """Native BLAST-stand-in: match k-mers that occur exactly once in
     each sequence, merge co-diagonal consecutive seeds into maximal runs.
     O(n) with dict seeding; robust for the closely-related sequences
-    anchoring targets."""
+    anchoring targets. Served by the C++ runtime when available."""
+    from .. import native
+    res = native.kmer_anchors(s1, s2, k, min_run)
+    if res is not None:
+        o1, o2, ol = res
+        return [SubstringHit(int(a), int(b), int(l), int(l))
+                for a, b, l in zip(o1, o2, ol)]
+
     def unique_kmers(s):
         pos = {}
         dup = set()

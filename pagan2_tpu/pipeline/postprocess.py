@@ -291,7 +291,21 @@ def maxmin_distant_subset(tree: TreeNode, candidates: set[str],
 
     names = [l.name for l in leaves]
     # start from the deepest leaf
-    kept = [max(names, key=lambda nm: max(depth[nm].values()))]
+    first = max(range(len(names)),
+                key=lambda i: max(depth[names[i]].values()))
+
+    from .. import native
+    if len(names) > 32:
+        import numpy as np
+        mat = np.zeros((len(names), len(names)))
+        for i, a in enumerate(names):
+            for j in range(i + 1, len(names)):
+                mat[i, j] = mat[j, i] = dist2(a, names[j])
+        keep_mask = native.maxmin_subsample(mat, n_keep, first)
+        if keep_mask is not None:
+            return {nm for nm, k in zip(names, keep_mask) if k}
+
+    kept = [names[first]]
     rest = [nm for nm in names if nm != kept[0]]
     while len(kept) < n_keep and rest:
         nxt = max(rest, key=lambda nm: min(dist2(nm, k) for k in kept))
