@@ -51,12 +51,15 @@ def band_windows(upper: np.ndarray, lower: np.ndarray, L: int, R: int):
 
 
 # ----------------------------------------------------------------------
-def _build_core(W: int, RextOff: int):
-    """Banded fill core for a fixed window width and rext offset."""
+def _build_core(W: int):
+    """Banded fill core for a fixed window width. All other dimensions
+    (diagonal count, row padding, rext offset) are carried by the
+    bucketed array shapes / traced scalars so one compilation serves
+    every pair whose bucket matches."""
 
     def core(TL, rs_rext, gj_rext, orp_rext, rw_rext, gext_i_ext,
              open_l_prev_ext, lw_ext, upper_ext, lower_ext,
-             ilo_arr, lng, lgo, Ldp, Rdp):
+             ilo_arr, lng, lgo, Ldp, Rdp, RextOff):
         Lpad, nf = TL.shape
         f = TL.dtype
         big_neg = jnp.array(NEG, f)
@@ -186,11 +189,10 @@ def _build_core(W: int, RextOff: int):
 _banded_cache: dict = {}
 
 
-def _get_banded_fill(W: int, off: int):
-    key = (W, off)
-    if key not in _banded_cache:
-        _banded_cache[key] = jax.jit(_build_core(W, off))
-    return _banded_cache[key]
+def _get_banded_fill(W: int):
+    if W not in _banded_cache:
+        _banded_cache[W] = jax.jit(_build_core(W))
+    return _banded_cache[W]
 
 
 # ----------------------------------------------------------------------
@@ -261,13 +263,19 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
     (viterbi_alignment.cpp:298-317)."""
     from .viterbi_jax import _backtrack_arrays
 
-    inp = prepare_sheared(left, right, model, settings, dtype)
+    inp = prepare_sheared(left, right, model, settings, dtype,
+                          with_ms=False)
     L, R = inp["L"], inp["R"]
     ilo, Wreal = band_windows(upper, lower, L, R)
     W = _bucket(Wreal)
     D = L + R - 1
+    # bucket every length-dependent dimension so the jitted core is
+    # reused across pairs (a fresh 400k-step scan costs ~80 s to
+    # compile; bucket slop steps are masked no-ops)
+    Db = _bucket(D)
+    Lb = _bucket(L)
 
-    Lpad = L + W + 1
+    Lpad = Lb + W + 1
     nf = model.log_score.shape[0]
     lstates = np.asarray(left.states[:L], np.int32)
     rstates = np.asarray(right.states[:R], np.int32)
@@ -286,7 +294,7 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
     def rext(vec, np_dtype, fill):
         v = np.full(R, fill, np_dtype)
         v[:len(vec)] = vec
-        out = np.full(pad_front + R + W, fill, np_dtype)
+        out = np.full(_bucket(pad_front + R + W), fill, np_dtype)
         out[pad_front:pad_front + R] = v[::-1]
         return jnp.asarray(out)
 
@@ -297,14 +305,19 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
 
     open_l_prev = np.concatenate([[0.0], inp["open_l"][:-1]]).astype(dtype)
 
-    core = _get_banded_fill(W, int(off))
+    # pad the diagonal schedule to the bucket; extra steps fall outside
+    # [0, R) columns and are masked to no-ops in the core
+    ilo_b = np.full(Db, ilo[-1] if len(ilo) else 0, np.int32)
+    ilo_b[:len(ilo)] = ilo
+
+    core = _get_banded_fill(W)
     bp, final = core(
         jnp.asarray(TL), rs_rext, gj_rext, orp_rext, rw_rext,
         ext_row(inp["gext_i"]), ext_row(open_l_prev), ext_row(inp["lw"]),
         jnp.asarray(_pad_int(upper[:L], Lpad, 0)),
         jnp.asarray(_pad_int(lower[:L], Lpad, R - 1)),
-        jnp.asarray(ilo), dtype(inp["lng"]), dtype(inp["lgo"]),
-        jnp.int32(L), jnp.int32(R))
+        jnp.asarray(ilo_b), dtype(inp["lng"]), dtype(inp["lgo"]),
+        jnp.int32(L), jnp.int32(R), jnp.int32(off))
 
     final = np.asarray(final)
     if not np.isfinite(final).any():

@@ -190,15 +190,19 @@ def _shear_vec(vec, D, L):
 
 def prepare_sheared(left: SequenceGraph, right: SequenceGraph,
                     model: EvolModel, settings: AlignSettings,
-                    dtype=np.float64):
-    """Host-side input prep for the sheared kernel."""
+                    dtype=np.float64, with_ms: bool = True):
+    """Host-side input prep for the sheared kernel. with_ms=False skips
+    the O(L*R) match-score table for banded consumers that gather
+    scores in-scan (viterbi_banded builds them by one-hot contraction
+    — a 200 kb pair would otherwise need ~300 GB here)."""
     L = left.num_sites() - 1
     R = right.num_sites() - 1
     D = L + R - 1
 
     lstates = np.asarray(left.states[:L], dtype=np.int32)
     rstates = np.asarray(right.states[:R], dtype=np.int32)
-    ms = model.log_score[np.ix_(lstates, rstates)].astype(dtype)
+    ms = (model.log_score[np.ix_(lstates, rstates)].astype(dtype)
+          if with_ms else None)
 
     m = model
     gext = m.log_gap_ext()

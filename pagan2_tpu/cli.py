@@ -666,6 +666,20 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", plat)
 
+    # persistent XLA compilation cache: long-pair banded kernels take
+    # tens of seconds to compile; shapes are bucketed so reuse is high
+    try:
+        import jax
+        cache = os.environ.get(
+            "PAGAN2_JAX_CACHE",
+            os.path.expanduser("~/.cache/pagan2_tpu_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
     if args.mpost_posterior_plot_file:
         from .io.plots import open_posterior_sink
         open_posterior_sink()
