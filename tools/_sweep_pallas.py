@@ -8,10 +8,11 @@ import jax.numpy as jnp
 from pagan2_tpu.graph import build_leaf_graph
 from pagan2_tpu.models import ModelFactory, alphabets as alph
 from pagan2_tpu.align import AlignSettings
-from pagan2_tpu.align.viterbi_pallas import (pallas_job_arrays,
-                                             pallas_batch_args, pallas_fill,
-                                             _add_scalar_params)
-from pagan2_tpu.align.viterbi_sheared import prepare_sheared
+from pagan2_tpu.align.viterbi_pallas import (_lane_bucket,
+                                              pallas_job_arrays,
+                                              pallas_batch_args, pallas_fill,
+                                              _add_scalar_params)
+from pagan2_tpu.align.viterbi_sheared import prepare_sheared, _bucket
 
 
 def slope(fn, K1=4, K2=16):
@@ -39,7 +40,8 @@ def bench(B, N, TD):
     mf = ModelFactory(alph.DNA)
     model = mf.alignment_model(0.2)
     settings = AlignSettings()
-    Lp = Rp = N + 1
+    Lp = _lane_bucket(N + 1)
+    Rp = _bucket(N + 1)
     jobs = []
     cells = 0
     for b in range(B):
@@ -58,7 +60,8 @@ def bench(B, N, TD):
     args = pallas_batch_args(jobs, Lp, Rp, TD)
     args = jax.tree.map(jnp.asarray, args)
     dt = slope(lambda: pallas_fill(*args, TD=TD))
-    lanecells = (Lp + Rp - 2) * B * Lp
+    Dpk = -(-(Lp + Rp - 2) // TD) * TD
+    lanecells = Dpk * B * Lp
     print("B=%-3d N=%-6d TD=%-3d  %8.4fs  %6.1f GCUPS  (%6.1f G lane-cells/s)"
           % (B, N, TD, dt, cells / dt / 1e9, lanecells / dt / 1e9),
           flush=True)
