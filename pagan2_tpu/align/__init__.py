@@ -14,6 +14,67 @@ def set_sampling_seed(seed):
     _RNG = np.random.default_rng(seed)
 
 
+def plan_band(left, right, settings):
+    """Anchor discovery + tunnel + coverage/memory planning for one pair.
+
+    Returns (band, skipped): band is (upper, lower) per-row column
+    bounds, skipped=True means the placement coverage heuristic decided
+    to skip the alignment entirely (node.cpp:155-186). Raises
+    MemoryError when the band exceeds the memory budget and --force-gap
+    cannot rescue it (node.cpp:100-152, settings.cpp:187-190)."""
+    from .anchors import (define_tunnel_for_graphs,
+                          replace_largest_block_with_gap,
+                          tunnel_coverage)
+    upper, lower, blocks, cov = \
+        define_tunnel_for_graphs(
+            left, right,
+            use_prefix_anchors=settings.use_prefix_anchors,
+            prefix_hit_length=settings.prefix_hit_length,
+            width=settings.anchors_offset,
+            threshold_total=settings.anchor_threshold_total,
+            threshold_partly=settings.anchor_threshold_partly)
+    band = (upper, lower)
+    # viterbi_alignment.cpp:176-179
+    log_out("Computing %.0f%% of DP matrix." % (cov * 100), 1)
+    # skip-if-poorly-anchored placement heuristic (node.cpp:155-186;
+    # active only when the CLI set anchoring_threshold < 1 for a
+    # query run)
+    if cov > settings.anchoring_threshold:
+        log_out("anchoring coverage %.3f is above the threshold. "
+                "Skipping the full alignment." % cov, 1)
+        return band, True
+    # memory budget + --force-gap rescue loop (node.cpp:100-152,
+    # settings.cpp:187-190). Our banded fill stores 3 f32 score
+    # planes + 1 int8 backpointer per in-band cell (13 B/cell vs the
+    # reference's ~195 B across its three matrices).
+    L1 = left.num_sites() - 1
+    R1 = right.num_sites() - 1
+    limit = settings.memory_limit_mb * 1024 * 1024
+    while True:
+        cells = cov * float(L1) * float(R1)
+        mem = int(cells * 13) + 50 * 1024 * 1024
+        if mem <= limit:
+            break
+        if not settings.force_gap:
+            raise MemoryError(
+                "Memory usage over limits (~%d bytes, allowed %d). "
+                "Allow more RAM (--memory-for-single-alignment) or "
+                "--force-gap to continue." % (mem, limit))
+        log_out("Memory usage over limits, replacing largest poorly "
+                "aligned block with a gap.", 1)
+        squeezed = replace_largest_block_with_gap(
+            band[0], band[1], blocks,
+            threshold=settings.force_gap_threshold)
+        if squeezed is None:
+            raise MemoryError(
+                "Memory usage over limits (no more gaps to force); "
+                "allow more RAM or decrease force-gap-threshold to "
+                "continue.")
+        band = squeezed
+        cov = tunnel_coverage(band[0], band[1], L1, R1)
+    return band, False
+
+
 def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                right_branch_length=0.0, is_reads_sequence=False,
                engine="auto", compute_consensus=False, band=None,
@@ -84,61 +145,9 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                 if band is None and use_anchors and \
                         min(left.num_sites(), right.num_sites()) > \
                         anchor_min_sites:
-                    from .anchors import (define_tunnel_for_graphs,
-                                          replace_largest_block_with_gap,
-                                          tunnel_coverage)
-                    upper, lower, blocks, cov = \
-                        define_tunnel_for_graphs(
-                            left, right,
-                            use_prefix_anchors=settings.use_prefix_anchors,
-                            prefix_hit_length=settings.prefix_hit_length,
-                            width=settings.anchors_offset,
-                            threshold_total=settings.anchor_threshold_total,
-                            threshold_partly=settings.anchor_threshold_partly)
-                    band = (upper, lower)
-                    # viterbi_alignment.cpp:176-179
-                    log_out("Computing %.0f%% of DP matrix." % (cov * 100),
-                            1)
-                    # skip-if-poorly-anchored placement heuristic
-                    # (node.cpp:155-186; active only when the CLI set
-                    # anchoring_threshold < 1 for a query run)
-                    if cov > settings.anchoring_threshold:
-                        log_out("anchoring coverage %.3f is above the "
-                                "threshold. Skipping the full alignment."
-                                % cov, 1)
+                    band, skipped = plan_band(left, right, settings)
+                    if skipped:
                         return None, None
-                    # memory budget + --force-gap rescue loop
-                    # (node.cpp:100-152, settings.cpp:187-190). Our
-                    # banded fill stores 3 f32 score planes + 1 int8
-                    # backpointer per in-band cell (13 B/cell vs the
-                    # reference's ~195 B across its three matrices).
-                    L1 = left.num_sites() - 1
-                    R1 = right.num_sites() - 1
-                    limit = settings.memory_limit_mb * 1024 * 1024
-                    while True:
-                        cells = cov * float(L1) * float(R1)
-                        mem = int(cells * 13) + 50 * 1024 * 1024
-                        if mem <= limit:
-                            break
-                        if not settings.force_gap:
-                            raise MemoryError(
-                                "Memory usage over limits (~%d bytes, "
-                                "allowed %d). Allow more RAM "
-                                "(--memory-for-single-alignment) or "
-                                "--force-gap to continue." % (mem, limit))
-                        log_out("Memory usage over limits, replacing "
-                                "largest poorly aligned block with a "
-                                "gap.", 1)
-                        squeezed = replace_largest_block_with_gap(
-                            band[0], band[1], blocks,
-                            threshold=settings.force_gap_threshold)
-                        if squeezed is None:
-                            raise MemoryError(
-                                "Memory usage over limits (no more gaps "
-                                "to force); allow more RAM or decrease "
-                                "force-gap-threshold to continue.")
-                        band = squeezed
-                        cov = tunnel_coverage(band[0], band[1], L1, R1)
                 if band is not None:
                     from .viterbi_banded import band_windows, \
                         banded_align_path
@@ -156,6 +165,31 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                     path, end = sheared_align_path(
                         left, right, model, settings,
                         left_branch_length, right_branch_length, band=band)
+            elif ok:
+                # graph fan-in: ring-buffer sheared kernel when the
+                # edge offsets are bounded (454/homopolymer reads,
+                # ancestors with indels), generic gather kernel beyond
+                # the caps
+                from .viterbi_fanin import (fanin_stats, fanin_align_path,
+                                            K_CAP, G_CAP)
+                KL, OL = fanin_stats(left)
+                KR, OR = fanin_stats(right)
+                if KL <= K_CAP and KR <= K_CAP and OL + OR <= G_CAP:
+                    if band is None and use_anchors and \
+                            min(left.num_sites(), right.num_sites()) > \
+                            anchor_min_sites:
+                        band, skipped = plan_band(left, right, settings)
+                        if skipped:
+                            return None, None
+                    path, end = fanin_align_path(
+                        left, right, model, settings,
+                        left_branch_length, right_branch_length, band=band)
+                else:
+                    from .viterbi_jax import jax_align_path
+                    path, end = jax_align_path(left, right, model,
+                                               settings,
+                                               left_branch_length,
+                                               right_branch_length)
             else:
                 from .viterbi_jax import jax_align_path
                 path, end = jax_align_path(left, right, model, settings,

@@ -1,0 +1,576 @@
+"""Sheared wavefront DP for graphs with bounded fan-in (the general case).
+
+The reference's defining feature is that *graphs*, not strings, are
+aligned: a site can have several bwd edges skipping other sites
+(454/homopolymer error edges, ancestors bridging indels), and the hot
+cell kernel iterates edge pairs (viterbi_alignment.cpp:1353-1436). The
+linear sheared/Pallas kernels only need two previous anti-diagonals; a
+bwd edge with offset o = i - prev(i) instead reads diagonal d-o (gap
+moves) or d-ol-or (match moves). This kernel carries a ring of the last
+G diagonals of M/X/Y in the scan state and gathers edge sources from it
+by per-lane offset, so any pair whose offsets satisfy
+max(ol) + max(or) <= G runs on device — banded (windowed, O(D x W)
+memory like viterbi_banded) and batch-native (jobs stacked on the
+leading axis for one launch per generation bucket).
+
+Candidate evaluation order is the reference's exactly (gap: per-edge
+ext, double, open, edges in bwd-list order, viterbi_alignment.cpp:
+1328-1349; match: left-edge outer, right-edge inner, moves m, x, y,
+:1353-1436) with strict-greater first-wins updates, so tracebacks are
+identical to the host oracle.
+
+Memory: one packed uint16 backpointer per in-band cell (bm 6 bits, bx 5,
+by 5) + O(G x W) ring state; match scores come from a per-row gather of
+the left log-score table (no O(L*R) table anywhere).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..graph.sequence_graph import SequenceGraph
+from ..models.evol_model import EvolModel
+from .settings import AlignSettings, X_MAT, Y_MAT, M_MAT
+from .oracle import MatrixPtr, PathPtr
+from .viterbi_sheared import _bucket
+
+NEG = -np.inf
+_BM_NONE = 63      # 6 bits
+_BX_NONE = 31      # 5 bits
+_BY_NONE = 31
+
+# device-eligibility caps: per-site fan-in and total offset reach
+# (KL*KR*3 candidate updates per diagonal; 8x8 = 192 is the practical
+# compile-size ceiling. Graphs beyond the caps take the generic gather
+# kernel.)
+K_CAP = 8
+G_CAP = 64
+
+
+def fanin_stats(g: SequenceGraph):
+    """(max fan-in K, max bwd-edge offset) over sites 1..N-1 — the
+    device-eligibility numbers for this graph."""
+    K = 1
+    O = 1
+    starts = g.edges.start
+    for i in range(1, g.num_sites()):
+        b = g.bwd[i]
+        if len(b) > K:
+            K = len(b)
+        for e in b:
+            o = i - starts[e]
+            if o > O:
+                O = o
+    return K, O
+
+
+def _g_bucket(n: int) -> int:
+    g = 2
+    while g < n:
+        g *= 2
+    return g
+
+
+# ----------------------------------------------------------------------
+def _build_core(KL: int, KR: int, G: int, W: int):
+    """Fill core for static (fan-in KL/KR, ring depth G, window W)."""
+
+    def core(TL, loff, llw, lopen, gexti_ext, upper_ext, lower_ext,
+             rs_rext, gjx_rext, roff_rext, rlw_rext, ropen_rext,
+             ilo_ext, lng, lgo, Ldp, Rdp):
+        B = TL.shape[0]
+        nf = TL.shape[2]
+        f = TL.dtype
+        neg = jnp.array(NEG, f)
+        Ext = gjx_rext.shape[1]
+        RextOff = Ext - W - 1
+
+        tt = jnp.arange(W)[None, :]                  # (1, W)
+        lngb = lng[:, None]
+        lgob = lgo[:, None]
+        Ldpb = Ldp[:, None]
+        Rdpb = Rdp[:, None]
+        cornerd = Ldpb + Rdpb - 2
+
+        ring0 = jnp.full((B, G * W), neg, f)
+        snap0 = jnp.full((B, G, W), neg, f)
+        final_none = jnp.full((B, W), _BM_NONE + (_BX_NONE << 6) +
+                              (_BY_NONE << 11), jnp.uint16)
+
+        def win_rows(vec_ext, ilo):
+            return lax.dynamic_slice_in_dim(vec_ext, ilo, W, axis=1)
+
+        def win_rows3(arr_ext, ilo):                 # (B, Lpad, K)
+            return lax.dynamic_slice_in_dim(arr_ext, ilo, W, axis=1)
+
+        def rev_cols(vec_rext, start):
+            return lax.dynamic_slice_in_dim(vec_rext, start, W, axis=1)
+
+        def rev_cols3(arr_rext, start):              # (B, K, Ext)
+            return lax.dynamic_slice_in_dim(arr_rext, start, W, axis=2)
+
+        def step(carry, d):
+            rM, rX, rY, sM, sX, sY = carry
+
+            # window schedule: ilo of this diagonal and the G before it
+            iwin = lax.dynamic_slice(ilo_ext, (d,), (G + 1,))
+            ilo = iwin[G]
+            # ofs[o] = flat ring offset for source diagonal d-o:
+            # (o-1)*W + (ilo[d] - ilo[d-o]); ofs[0] unused
+            ofs = (jnp.arange(G + 1) - 1) * W + (ilo - iwin[::-1])
+
+            iig = ilo + tt                           # (1, W) global row
+            jj = d - iig
+            start = RextOff - (d - ilo)
+
+            up = win_rows(upper_ext, ilo)
+            lo = win_rows(lower_ext, ilo)
+            valid = (jj >= 0) & (jj < Rdpb) & (iig < Ldpb) & \
+                (jj >= up) & (jj <= lo)
+
+            gexti = win_rows(gexti_ext, ilo)
+            gjx = rev_cols(gjx_rext, start)
+            rs = rev_cols(rs_rext, start)
+            roff = rev_cols3(roff_rext, start)       # (B, KR, W)
+            rlw = rev_cols3(rlw_rext, start)
+            ropen = rev_cols3(ropen_rext, start)
+            loffw = win_rows3(loff, ilo)             # (B, W, KL)
+            llww = win_rows3(llw, ilo)
+            lopenw = win_rows3(lopen, ilo)
+
+            TLw = win_rows3(TL, ilo)                 # (B, W, nf)
+            ms = jnp.take_along_axis(
+                TLw, jnp.clip(rs, 0, nf - 1)[:, :, None], axis=2)[:, :, 0]
+
+            def gather(ring, o_tot, lane_shift):
+                """Source values at ring diagonal d-o_tot, global row
+                iig - lane_shift. Returns (vals, ok)."""
+                src = tt - lane_shift + jnp.take(ofs, o_tot)
+                ok = (o_tot > 0) & (o_tot <= G) & \
+                    (tt - lane_shift + jnp.take(ofs, o_tot) -
+                     (o_tot - 1) * W >= 0) & \
+                    (tt - lane_shift + jnp.take(ofs, o_tot) -
+                     (o_tot - 1) * W < W)
+                vals = jnp.take_along_axis(
+                    ring, jnp.clip(src, 0, G * W - 1), axis=1)
+                return vals, ok
+
+            def upd(best, code, cand, c):
+                take = cand > best
+                return (jnp.where(take, cand, best),
+                        jnp.where(take, c, code))
+
+            # ---- X: gap consuming left site i (per edge: ext, double,
+            # open; viterbi_alignment.cpp:1328-1349) ----
+            bestX = jnp.full((B, W), neg, f)
+            codeX = jnp.full((B, W), _BX_NONE, jnp.int32)
+            for k in range(KL):
+                o = loffw[:, :, k]
+                gx, okg = gather(rX, o, o)
+                gy, _ = gather(rY, o, o)
+                gm, _ = gather(rM, o, o)
+                ok = okg
+                bestX, codeX = upd(bestX, codeX,
+                                   jnp.where(ok, gx + gjx, neg), k * 3)
+                bestX, codeX = upd(bestX, codeX,
+                                   jnp.where(ok, gy + lgob, neg),
+                                   k * 3 + 1)
+                bestX, codeX = upd(
+                    bestX, codeX,
+                    jnp.where(ok, gm + lngb + lopenw[:, :, k], neg),
+                    k * 3 + 2)
+
+            # ---- Y: gap consuming right site j ----
+            bestY = jnp.full((B, W), neg, f)
+            codeY = jnp.full((B, W), _BY_NONE, jnp.int32)
+            for k in range(KR):
+                o = roff[:, k, :]
+                gy, okg = gather(rY, o, 0)
+                gx, _ = gather(rX, o, 0)
+                gm, _ = gather(rM, o, 0)
+                ok = okg
+                bestY, codeY = upd(bestY, codeY,
+                                   jnp.where(ok, gy + gexti, neg), k * 3)
+                bestY, codeY = upd(bestY, codeY,
+                                   jnp.where(ok, gx + lgob, neg),
+                                   k * 3 + 1)
+                bestY, codeY = upd(
+                    bestY, codeY,
+                    jnp.where(ok, gm + lngb + ropen[:, k, :], neg),
+                    k * 3 + 2)
+
+            # ---- M: match consuming both (left edge outer, right edge
+            # inner; per pair m, x, y; viterbi_alignment.cpp:1353-1436)
+            bestM = jnp.full((B, W), neg, f)
+            codeM = jnp.full((B, W), _BM_NONE, jnp.int32)
+            mbase = lngb + ms
+            for kl in range(KL):
+                ol = loffw[:, :, kl]
+                lw = llww[:, :, kl]
+                for kr in range(KR):
+                    orr = roff[:, kr, :]
+                    o = ol + orr
+                    okp = (ol > 0) & (orr > 0)
+                    gm, okg = gather(rM, o, ol)
+                    gx, _ = gather(rX, o, ol)
+                    gy, _ = gather(rY, o, ol)
+                    ok = okp & okg
+                    base = mbase + lw + rlw[:, kr, :]
+                    c0 = (kl * KR + kr) * 3
+                    bestM, codeM = upd(bestM, codeM,
+                                       jnp.where(ok, gm + lngb + base,
+                                                 neg), c0)
+                    bestM, codeM = upd(bestM, codeM,
+                                       jnp.where(ok, gx + base, neg),
+                                       c0 + 1)
+                    bestM, codeM = upd(bestM, codeM,
+                                       jnp.where(ok, gy + base, neg),
+                                       c0 + 2)
+
+            okx = valid & (iig > 0) & jnp.isfinite(bestX)
+            oky = valid & (jj > 0) & jnp.isfinite(bestY)
+            okm = valid & (iig > 0) & (jj > 0) & jnp.isfinite(bestM)
+            X = jnp.where(okx, bestX, neg)
+            Y = jnp.where(oky, bestY, neg)
+            M = jnp.where(okm, bestM, neg)
+
+            # seed cell (0, 0) on diagonal 0
+            seed = (iig == 0) & (jj == 0)
+            M = jnp.where(seed, jnp.zeros((), f), M)
+
+            bp = (jnp.where(okm, codeM, _BM_NONE) +
+                  (jnp.where(okx, codeX, _BX_NONE) << 6) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 11)
+                  ).astype(jnp.uint16)
+
+            # roll the ring: new diagonal becomes index 0
+            rM = jnp.concatenate([M, rM[:, :-W]], axis=1)
+            rX = jnp.concatenate([X, rX[:, :-W]], axis=1)
+            rY = jnp.concatenate([Y, rY[:, :-W]], axis=1)
+
+            # per-job snapshot of the ring at the job's corner diagonal
+            hit = (d == cornerd)[:, :, None].swapaxes(1, 2)  # (B, 1, 1)
+            rs3 = lambda r: r.reshape(B, G, W)  # noqa: E731
+            sM = jnp.where(hit, rs3(rM), sM)
+            sX = jnp.where(hit, rs3(rX), sX)
+            sY = jnp.where(hit, rs3(rY), sY)
+
+            return (rM, rX, rY, sM, sX, sY), bp
+
+        Dscan = ilo_ext.shape[0] - G
+        carry, bps = lax.scan(
+            step, (ring0, ring0, ring0, snap0, snap0, snap0),
+            jnp.arange(Dscan))
+        _, _, _, sM, sX, sY = carry
+        return bps, sM, sX, sY
+
+    return core
+
+
+_core_cache: dict = {}
+
+
+def get_fanin_fill(KL: int, KR: int, G: int, W: int):
+    key = (KL, KR, G, W)
+    if key not in _core_cache:
+        _core_cache[key] = jax.jit(_build_core(KL, KR, G, W))
+    return _core_cache[key]
+
+
+# ----------------------------------------------------------------------
+def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
+                  model: EvolModel, settings: AlignSettings,
+                  dtype=np.float64):
+    """Host-side per-job arrays (unpadded; stacking pads to buckets)."""
+    L = left.num_sites() - 1
+    R = right.num_sites() - 1
+    la = left.padded_bwd_arrays()
+    ra = right.padded_bwd_arrays()
+
+    m = model
+    gext = m.log_gap_ext()
+    gend = gext if settings.no_terminal_edges else m.log_gap_end_ext()
+    lgo = m.log_gap_open()
+
+    def side(arr, n):
+        prev = arr["prev"][:n]
+        mask = arr["mask"][:n] & (prev >= 0) & \
+            (prev < np.arange(n)[:, None])
+        off = np.where(mask, np.arange(n)[:, None] - prev, 0
+                       ).astype(np.int32)
+        lw = np.where(mask, arr["logw"][:n], 0.0).astype(dtype)
+        # open penalty at the predecessor site (basic_alignment.h:490-513)
+        op = np.full(prev.shape, lgo, dtype)
+        if settings.reduced_terminal_gap_penalties:
+            op[prev == 0] = 0.0
+        op = np.where(mask, op, 0.0)
+        return off, lw, op
+
+    loff, llw, lopen = side(la, L)
+    roff, rlw, ropen = side(ra, R)
+
+    gext_i = np.full(L, gext, dtype)
+    gext_i[0] = gend
+    gext_i[L - 1] = gend
+    gext_j = np.full(R, gext, dtype)
+    gext_j[0] = gend
+    gext_j[R - 1] = gend
+
+    lstates = np.asarray(left.states[:L], np.int32)
+    rstates = np.asarray(right.states[:R], np.int32)
+
+    KLg, OL = fanin_stats(left)
+    KRg, OR = fanin_stats(right)
+    return dict(
+        L=L, R=R, KL=loff.shape[1], KR=roff.shape[1],
+        OL=OL, OR=OR,
+        loff=loff, llw=llw, lopen=lopen,
+        roff=roff, rlw=rlw, ropen=ropen,
+        gext_i=gext_i, gext_j=gext_j,
+        lstates=lstates, rstates=rstates,
+        leid=la["eid"][:L + 1], lprev=la["prev"][:L + 1],
+        reid=ra["eid"][:R + 1], rprev=ra["prev"][:R + 1],
+        lng=dtype(m.log_non_gap()), lgo=dtype(lgo),
+        log_score=model.log_score.astype(dtype),
+    )
+
+
+def fanin_device_eligible(inp) -> bool:
+    return (inp["KL"] <= K_CAP and inp["KR"] <= K_CAP and
+            inp["OL"] + inp["OR"] <= G_CAP)
+
+
+def stack_fanin(inputs: list[dict], Lp: int, Rp: int, KL: int, KR: int,
+                G: int, W: int | None = None, ilo=None, dtype=np.float64):
+    """Pad/stack per-job prepare_fanin dicts into core args. W/ilo:
+    optional band window (single-job banded use); default full width."""
+    B = len(inputs)
+    nf = inputs[0]["log_score"].shape[0]
+    D = Lp + Rp - 1
+    if W is None:
+        W = Lp
+    if ilo is None:
+        ilo = np.zeros(D, np.int32)
+    Lpad = Lp + W + 1
+
+    pad_front = max(0, (D - 1) - (Rp - 1))
+    Ext = _bucket(pad_front + Rp + W + 1)
+    RextOff = Ext - W - 1
+
+    TL = np.zeros((B, Lpad, nf), dtype)
+    loff = np.zeros((B, Lpad, KL), np.int32)
+    llw = np.zeros((B, Lpad, KL), dtype)
+    lopen = np.zeros((B, Lpad, KL), dtype)
+    gexti = np.zeros((B, Lpad), dtype)
+    upper = np.zeros((B, Lpad), np.int32)
+    lower = np.full((B, Lpad), 0, np.int32)
+    rs = np.full((B, Ext), nf, np.int32)
+    gjx = np.zeros((B, Ext), dtype)
+    roff = np.zeros((B, KR, Ext), np.int32)
+    rlw = np.zeros((B, KR, Ext), dtype)
+    ropen = np.zeros((B, KR, Ext), dtype)
+    lng = np.zeros(B, dtype)
+    lgo = np.zeros(B, dtype)
+    Ldp = np.zeros(B, np.int32)
+    Rdp = np.zeros(B, np.int32)
+
+    for b, inp in enumerate(inputs):
+        L, R = inp["L"], inp["R"]
+        kl = inp["loff"].shape[1]
+        kr = inp["roff"].shape[1]
+        TL[b, :L] = inp["log_score"][inp["lstates"]]
+        loff[b, :L, :kl] = inp["loff"]
+        llw[b, :L, :kl] = inp["llw"]
+        lopen[b, :L, :kl] = inp["lopen"]
+        gexti[b, :L] = inp["gext_i"]
+        lower[b, :L] = inp.get("band_lower", np.full(L, R - 1))[:L]
+        upper[b, :L] = inp.get("band_upper", np.zeros(L))[:L]
+
+        def rput(dst, vec):
+            n = len(vec)
+            dst[RextOff - n + 1: RextOff + 1] = vec[::-1]
+
+        rput(rs[b], inp["rstates"])
+        rput(gjx[b], inp["gext_j"])
+        for k in range(kr):
+            rput(roff[b, k], inp["roff"][:, k])
+            rput(rlw[b, k], inp["rlw"][:, k])
+            rput(ropen[b, k], inp["ropen"][:, k])
+        lng[b] = inp["lng"]
+        lgo[b] = inp["lgo"]
+        Ldp[b] = L
+        Rdp[b] = R
+
+    ilo_ext = np.zeros(D + G, np.int32)
+    ilo_ext[G:] = ilo[:D]
+    return (jnp.asarray(TL), jnp.asarray(loff), jnp.asarray(llw),
+            jnp.asarray(lopen), jnp.asarray(gexti), jnp.asarray(upper),
+            jnp.asarray(lower), jnp.asarray(rs), jnp.asarray(gjx),
+            jnp.asarray(roff), jnp.asarray(rlw), jnp.asarray(ropen),
+            jnp.asarray(ilo_ext), jnp.asarray(lng), jnp.asarray(lgo),
+            jnp.asarray(Ldp), jnp.asarray(Rdp))
+
+
+# ----------------------------------------------------------------------
+class _SnapScores:
+    """Score plane view over a job's corner-ring snapshot: snap[g] holds
+    diagonal (L+R-2) - g."""
+
+    def __init__(self, snap, ilo, Dlast, W):
+        self.snap = np.asarray(snap)
+        self.ilo = ilo
+        self.Dlast = Dlast   # diagonal held by snap[0]
+        self.W = W
+        self.G = self.snap.shape[0]
+
+    def __getitem__(self, ij):
+        i, j = ij
+        g = self.Dlast - (i + j)
+        if g < 0 or g >= self.G:
+            return NEG
+        t = i - int(self.ilo[i + j])
+        if t < 0 or t >= self.W:
+            return NEG
+        return float(self.snap[g, t])
+
+
+class _FaninCells:
+    """Oracle-style cell accessor over the packed uint16 stripe."""
+
+    def __init__(self, bp, ilo, inp, left, right, snaps=None,
+                 kr_decode=None):
+        self.bp = np.asarray(bp)
+        self.ilo = ilo
+        self.W = self.bp.shape[1]
+        self.inp = inp
+        self.left = left
+        self.right = right
+        # M codes were packed with the launch bucket's KR, which may
+        # exceed this job's true fan-in
+        self.KR = kr_decode or inp["KR"]
+        if snaps is not None:
+            Dlast = inp["L"] + inp["R"] - 2
+            self.score = {w: _SnapScores(s, ilo, Dlast, self.W)
+                          for w, s in zip((M_MAT, X_MAT, Y_MAT), snaps)}
+
+    def _code(self, i, j):
+        d = i + j
+        t = i - int(self.ilo[d])
+        if t < 0 or t >= self.W or d >= self.bp.shape[0]:
+            return _BM_NONE + (_BX_NONE << 6) + (_BY_NONE << 11)
+        return int(self.bp[d, t])
+
+    def cell(self, which, i, j) -> MatrixPtr:
+        code = self._code(i, j)
+        inp = self.inp
+        mp = MatrixPtr()
+        if which == M_MAT:
+            c = code & 63
+            if c == _BM_NONE:
+                return mp
+            pair, move = divmod(c, 3)
+            kl, kr = divmod(pair, self.KR)
+            mp.matrix = (M_MAT, X_MAT, Y_MAT)[move]
+            mp.x_ind = int(inp["lprev"][i, kl])
+            mp.y_ind = int(inp["rprev"][j, kr])
+            mp.x_edge_ind = int(inp["leid"][i, kl])
+            mp.y_edge_ind = int(inp["reid"][j, kr])
+        elif which == X_MAT:
+            c = (code >> 6) & 31
+            if c == _BX_NONE:
+                mp.y_ind = j
+                return mp
+            k, move = divmod(c, 3)
+            mp.matrix = (X_MAT, Y_MAT, M_MAT)[move]
+            mp.x_ind = int(inp["lprev"][i, k])
+            mp.y_ind = j
+            mp.x_edge_ind = int(inp["leid"][i, k])
+        else:
+            c = (code >> 11) & 31
+            if c == _BY_NONE:
+                mp.x_ind = i
+                return mp
+            k, move = divmod(c, 3)
+            mp.matrix = (Y_MAT, X_MAT, M_MAT)[move]
+            mp.x_ind = i
+            mp.y_ind = int(inp["rprev"][j, k])
+            mp.y_edge_ind = int(inp["reid"][j, k])
+        return mp
+
+
+def finish_fanin(job_inp, bp, snaps, ilo, left, right, model, settings,
+                 lbl, rbl, kr_decode=None):
+    """Host end-corner + backtrack over a filled job."""
+    from .viterbi_jax import _backtrack_arrays, _end_corner_arrays
+
+    cells = _FaninCells(bp, ilo, job_inp, left, right, snaps=snaps,
+                        kr_decode=kr_decode)
+    end = _end_corner_arrays(cells, left, right, model, settings, job_inp)
+    if not np.isfinite(end.score):
+        return None, None
+    end.bwd_score = 1.0
+    end.full_score = 1.0
+    path = _backtrack_arrays(cells, left, right, PathPtr(end, True),
+                             job_inp["L"], job_inp["R"], lbl, rbl)
+    return path, end
+
+
+def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
+                     model: EvolModel, settings: AlignSettings,
+                     left_branch_length: float = 0.0,
+                     right_branch_length: float = 0.0,
+                     dtype=np.float64, band=None):
+    """Single-pair device fill + host backtrack for fan-in graphs,
+    windowed when an anchor band is given. Falls back to the full
+    matrix if the banded DP dead-ends (viterbi_alignment.cpp:298-317)."""
+    inp = prepare_fanin(left, right, model, settings, dtype)
+    if not fanin_device_eligible(inp):
+        raise ValueError("graph exceeds fan-in kernel caps")
+    L, R = inp["L"], inp["R"]
+    KL, KR = inp["KL"], inp["KR"]
+    G = _g_bucket(inp["OL"] + inp["OR"])
+    Lp, Rp = _bucket(L), _bucket(R)
+    D = Lp + Rp - 1
+
+    def run(bnd):
+        if bnd is not None:
+            from .viterbi_banded import band_windows
+            upper, lower = bnd
+            ilo_r, Wreal = band_windows(upper, lower, L, R)
+            W = _bucket(Wreal)
+            if W >= Lp:
+                W, ilo = Lp, np.zeros(D, np.int32)
+            else:
+                ilo = np.zeros(D, np.int32)
+                ilo[:len(ilo_r)] = ilo_r
+                ilo[len(ilo_r):] = ilo_r[-1] if len(ilo_r) else 0
+            inp["band_upper"] = np.clip(np.asarray(upper[:L], np.int64),
+                                        0, R - 1).astype(np.int32)
+            inp["band_lower"] = np.clip(np.asarray(lower[:L], np.int64),
+                                        0, R - 1).astype(np.int32)
+        else:
+            W, ilo = Lp, np.zeros(D, np.int32)
+            inp.pop("band_upper", None)
+            inp.pop("band_lower", None)
+        args = stack_fanin([inp], Lp, Rp, KL, KR, G, W=W, ilo=ilo,
+                           dtype=dtype)
+        fill = get_fanin_fill(KL, KR, G, W)
+        bp, sM, sX, sY = fill(*args)
+        return (np.asarray(bp)[:, 0, :],
+                (np.asarray(sM)[0], np.asarray(sX)[0], np.asarray(sY)[0]),
+                ilo)
+
+    bp, snaps, ilo = run(band)
+    path, end = finish_fanin(inp, bp, snaps, ilo, left, right, model,
+                             settings, left_branch_length,
+                             right_branch_length)
+    if path is None and band is not None:
+        bp, snaps, ilo = run(None)
+        path, end = finish_fanin(inp, bp, snaps, ilo, left, right, model,
+                                 settings, left_branch_length,
+                                 right_branch_length)
+    if path is None:
+        raise RuntimeError("fan-in fill could not reach the end corner")
+    return path, end

@@ -233,9 +233,14 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--engine", default="auto",
                    choices=["auto", "jax", "oracle"])
     x.add_argument("--threads", type=int, default=1,
-                   help="accepted for compatibility; batching replaces it")
+                   help="shard each generation's batched alignments over "
+                        "up to this many accelerator devices (the "
+                        "reference's OpenMP thread count)")
     x.add_argument("--boost", action="store_true",
-                   help="accepted for compatibility; batching replaces it")
+                   help="accepted for compatibility; generation batching "
+                        "replaces the boost work queue")
+    x.add_argument("--devices", type=int, default=None,
+                   help="alias of --threads: size of the jobs mesh axis")
     x.add_argument("--silent", action="store_true")
     x.add_argument("--noise", type=int, default=0)
     x.add_argument("--version", "-v", action="store_true",
@@ -858,12 +863,23 @@ def main(argv=None) -> int:
         scale=args.scale_branches, fixed=args.fixed_branches,
         real_branches=args.real_branches)
 
+    mesh = None
+    n_dev = args.devices or args.threads
+    if n_dev and n_dev > 1 and args.engine != "oracle":
+        try:
+            import jax
+            if len(jax.devices()) > 1:
+                from .parallel.executor import make_jobs_mesh
+                mesh = make_jobs_mesh(n_dev)
+        except ImportError:
+            pass
+
     from .pipeline import align_progressive
     res = align_progressive(
         entries, tree, data_type=data_type, settings=settings,
         model_factory=mf, engine=args.engine,
         include_internal_nodes=args.output_ancestors,
-        mode454=args.mode454, homopolymer=args.homopolymer)
+        mode454=args.mode454, homopolymer=args.homopolymer, mesh=mesh)
     _tick("alignment")
 
     full = res.alignment

@@ -1,0 +1,369 @@
+"""Batched generation executor: one kernel launch per generation bucket.
+
+The reference runs independent guide-tree nodes concurrently on CPU
+threads (boost queue node.cpp:273-345, OpenMP waves node.cpp:227-269).
+The TPU-native replacement batches one generation's independent pairwise
+jobs into a single batched wavefront launch (jobs stacked on the batch
+axis, padded to shared shape buckets) and shards the batch over the
+`jobs` axis of a device mesh. Backtrack and ancestral-graph construction
+stay per-job on host (O(path) work).
+
+Jobs that cannot batch (graph fan-in beyond the kernel cap, sampling /
+full-probability, thin-band megabase pairs that want the windowed
+kernel) fall back to `align_pair` one by one — the same dispatch the
+sequential pipeline uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..align.settings import AlignSettings
+from ..utils import log_out
+
+# observability: kernel-launch / job counters (reset per run if desired)
+EXEC_STATS = {"launches": 0, "batched_jobs": 0, "single_jobs": 0,
+              "batched_cells": 0}
+
+
+def reset_stats():
+    for k in EXEC_STATS:
+        EXEC_STATS[k] = 0
+
+
+@dataclass
+class PairJob:
+    """One pairwise alignment job (a ready tree node, a placement
+    candidate...). `key` is opaque caller context."""
+    left: Any
+    right: Any
+    model: Any
+    settings: AlignSettings
+    left_branch_length: float = 0.0
+    right_branch_length: float = 0.0
+    is_reads_sequence: bool = False
+    compute_consensus: bool = False
+    key: Any = None
+    # filled by planning
+    band: Any = None
+    skipped: bool = False
+
+
+def _mesh_size(mesh) -> int:
+    return 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+
+
+def make_jobs_mesh(n_devices: int | None = None):
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    n = min(n, len(devs))
+    return Mesh(np.array(devs[:n]), ("jobs",))
+
+
+# ----------------------------------------------------------------------
+def _plan_job(job: PairJob):
+    """Anchor/band planning mirroring align_pair's gate: returns
+    'batch' (shared sheared launch), 'fanin' (shared ring-buffer
+    launch), 'banded' (single windowed kernel), or 'single'
+    (align_pair fallback)."""
+    from ..align import plan_band
+    from ..align.viterbi_sheared import is_linear_chain, _bucket
+
+    s = job.settings
+    if s.pair_end_reads or s.compute_full_score or s.sample_path or \
+            s.sample_additional_paths > 0:
+        return "single"
+    linear = is_linear_chain(job.left) and is_linear_chain(job.right)
+    if not linear:
+        from ..align.viterbi_fanin import fanin_stats, K_CAP, G_CAP
+        KL, OL = fanin_stats(job.left)
+        KR, OR = fanin_stats(job.right)
+        if KL > K_CAP or KR > K_CAP or OL + OR > G_CAP:
+            return "single"
+    if job.band is None and s.use_anchors and \
+            min(job.left.num_sites(), job.right.num_sites()) > \
+            s.anchor_min_sites:
+        job.band, job.skipped = plan_band(job.left, job.right, s)
+        if job.skipped:
+            return "skipped"
+    if job.band is not None:
+        from ..align.viterbi_banded import band_windows
+        L = job.left.num_sites() - 1
+        R = job.right.num_sites() - 1
+        _ilo, Wreal = band_windows(job.band[0], job.band[1], L, R)
+        if _bucket(Wreal) * 2 <= _bucket(R):
+            return "banded" if linear else "single"
+    return "batch" if linear else "fanin"
+
+
+def _run_single(job: PairJob, engine: str):
+    from ..align import align_pair
+    EXEC_STATS["single_jobs"] += 1
+    settings = job.settings.for_reads() if job.is_reads_sequence \
+        else job.settings
+    return align_pair(job.left, job.right, job.model, settings,
+                      job.left_branch_length, job.right_branch_length,
+                      engine=engine, band=job.band,
+                      compute_consensus=job.compute_consensus)
+
+
+# ----------------------------------------------------------------------
+def _stack_sheared(jobs: list[PairJob], Lp: int, Rp: int, pad_to: int,
+                   dtype):
+    """Stack per-job sheared inputs to batch arrays (padding the batch
+    with copies of job 0 so it divides the mesh)."""
+    import jax.numpy as jnp
+    from ..align.viterbi_sheared import (prepare_sheared,
+                                         shear_device_inputs)
+
+    per_job = []
+    inputs = []
+    for job in jobs:
+        s = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        inp = prepare_sheared(job.left, job.right, job.model, s,
+                              dtype=dtype)
+        upper = job.band[0] if job.band else None
+        lower = job.band[1] if job.band else None
+        per_job.append(shear_device_inputs(inp, Lp=Lp, Rp=Rp,
+                                           upper=upper, lower=lower))
+        inputs.append(inp)
+    while len(per_job) < pad_to:
+        per_job.append(per_job[0])
+    n_vec = 7   # ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw
+    args = [jnp.stack([p[i] for p in per_job]) for i in range(n_vec)]
+    args.append(jnp.asarray([p[7] for p in per_job]))   # lng
+    args.append(jnp.asarray([p[8] for p in per_job]))   # lgo
+    args.append(jnp.asarray([p[9] for p in per_job]))   # Ldp
+    args.append(jnp.asarray([p[10] for p in per_job]))  # Rdp
+    args.append(jnp.stack([p[11] for p in per_job]))    # band_lo
+    args.append(jnp.stack([p[12] for p in per_job]))    # band_hi
+    return args, inputs
+
+
+def _finish_sheared(job: PairJob, inp, bp, final, engine: str):
+    """Host backtrack + ancestral build for one batched job."""
+    from ..align import align_pair
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.oracle import PathPtr
+    from ..align.viterbi_sheared import _ShearedCells, _end_corner_linear
+    from ..align.viterbi_jax import _backtrack_arrays
+
+    final = np.asarray(final)
+    if job.band is not None and not np.isfinite(final).any():
+        # anchored fill dead-ended: full-matrix retry
+        # (viterbi_alignment.cpp:298-317)
+        job.band = None
+        return _run_single(job, engine)
+    settings = job.settings.for_reads() if job.is_reads_sequence \
+        else job.settings
+    cells = _ShearedCells(bp, job.left, job.right)
+    end = _end_corner_linear(final, job.left, job.right, job.model,
+                             inp["L"], inp["R"])
+    end.bwd_score = 1.0
+    end.full_score = 1.0
+    path = _backtrack_arrays(cells, job.left, job.right,
+                             PathPtr(end, True), inp["L"], inp["R"],
+                             job.left_branch_length,
+                             job.right_branch_length)
+    anc = build_ancestral_graph(job.left, job.right, path, job.model,
+                                settings,
+                                job.left_branch_length,
+                                job.right_branch_length,
+                                job.is_reads_sequence,
+                                compute_consensus=job.compute_consensus)
+    return anc, end
+
+
+# batch size cap: cells per launch (ms_sh f32/f64 dominates the
+# footprint; 2^28 cells ~ 2-4 GB through the sheared layout)
+MAX_BATCH_CELLS = 1 << 28
+
+
+def _default_dtype():
+    """f64 when jax x64 is on (tests / parity runs), else f32 — avoids
+    silent-truncation warning spam under the CLI's default f32 config."""
+    import jax
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
+                      mesh=None, dtype=None):
+    """Run independent pairwise jobs, batching eligible ones into shared
+    kernel launches (one per shape bucket), optionally sharded over the
+    mesh's `jobs` axis. Returns [(ancestral_graph, end_ptr)] in job
+    order. Skipped jobs (anchoring-coverage heuristic) yield
+    (None, None)."""
+    if dtype is None:
+        dtype = _default_dtype()
+    results: list = [None] * len(jobs)
+    if engine == "oracle":
+        for i, job in enumerate(jobs):
+            results[i] = _run_single(job, engine)
+        return results
+
+    from ..align.viterbi_sheared import _bucket
+
+    buckets: dict[tuple, list[int]] = {}
+    fanin_buckets: dict[tuple, list[int]] = {}
+    for i, job in enumerate(jobs):
+        try:
+            kind = _plan_job(job)
+        except ImportError:
+            kind = "single"
+        if kind == "skipped":
+            results[i] = (None, None)
+        elif kind in ("single", "banded"):
+            results[i] = _run_single(job, engine)
+        else:
+            L = job.left.num_sites() - 1
+            R = job.right.num_sites() - 1
+            key = (_bucket(L), _bucket(R))
+            (buckets if kind == "batch" else
+             fanin_buckets).setdefault(key, []).append(i)
+
+    n_shards = _mesh_size(mesh)
+    for (Lp, Rp), idxs in sorted(buckets.items()):
+        if len(idxs) == 1 and n_shards == 1:
+            # no batching win; single dispatch avoids the stack copy
+            i = idxs[0]
+            results[i] = _run_single(jobs[i], engine)
+            continue
+        # chunk the bucket so one launch stays under the cell budget
+        per_job_cells = Lp * Rp
+        chunk = max(n_shards,
+                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
+                    * n_shards or n_shards)
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0:c0 + chunk]
+            _launch_sheared_batch(jobs, part, results, Lp, Rp, mesh,
+                                  n_shards, engine, dtype)
+
+    for (Lp, Rp), idxs in sorted(fanin_buckets.items()):
+        if len(idxs) == 1 and n_shards == 1:
+            i = idxs[0]
+            results[i] = _run_single(jobs[i], engine)
+            continue
+        per_job_cells = Lp * Rp
+        chunk = max(n_shards,
+                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
+                    * n_shards or n_shards)
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0:c0 + chunk]
+            _launch_fanin_batch(jobs, part, results, Lp, Rp, mesh,
+                                n_shards, engine, dtype)
+    return results
+
+
+def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
+                          engine, dtype):
+    import jax
+    from ..align.viterbi_sheared import batched_sheared_fill
+
+    B = len(idxs)
+    # pad the batch to a power of two (and a multiple of the mesh) so
+    # jitted fills are reused across generations of shrinking width
+    pad_to = 1
+    while pad_to < B:
+        pad_to *= 2
+    pad_to = -(-pad_to // n_shards) * n_shards
+    batch = [jobs[i] for i in idxs]
+    args, inputs = _stack_sheared(batch, Lp, Rp, pad_to, dtype)
+    if mesh is not None and n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P("jobs"))
+        args = [jax.device_put(a, spec) for a in args]
+    bp, final = batched_sheared_fill(*args)
+    EXEC_STATS["launches"] += 1
+    EXEC_STATS["batched_jobs"] += B
+    EXEC_STATS["batched_cells"] += sum(
+        inp["L"] * inp["R"] for inp in inputs)
+    log_out("batched launch: %d jobs (bucket %dx%d, %d shard%s)"
+            % (B, Lp, Rp, n_shards, "s" if n_shards > 1 else ""), 3)
+    bp = np.asarray(bp)
+    final = np.asarray(final)
+    for b, i in enumerate(idxs):
+        results[i] = _finish_sheared(jobs[i], inputs[b], bp[b], final[b],
+                                     engine)
+
+
+def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
+                        engine, dtype):
+    """One batched ring-buffer fill for a bucket of fan-in graph jobs."""
+    import jax
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.viterbi_fanin import (prepare_fanin, stack_fanin,
+                                       get_fanin_fill, finish_fanin,
+                                       _g_bucket)
+
+    B = len(idxs)
+    pad_to = 1
+    while pad_to < B:
+        pad_to *= 2
+    pad_to = -(-pad_to // n_shards) * n_shards
+
+    inputs = []
+    for i in idxs:
+        job = jobs[i]
+        s = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        inp = prepare_fanin(job.left, job.right, job.model, s,
+                            dtype=dtype)
+        if job.band is not None:
+            L, R = inp["L"], inp["R"]
+            inp["band_upper"] = np.clip(
+                np.asarray(job.band[0][:L], np.int64), 0,
+                R - 1).astype(np.int32)
+            inp["band_lower"] = np.clip(
+                np.asarray(job.band[1][:L], np.int64), 0,
+                R - 1).astype(np.int32)
+        inputs.append(inp)
+    KL = max(inp["KL"] for inp in inputs)
+    KR = max(inp["KR"] for inp in inputs)
+    G = _g_bucket(max(inp["OL"] + inp["OR"] for inp in inputs))
+    stacked = inputs + [inputs[0]] * (pad_to - B)
+    args = stack_fanin(stacked, Lp, Rp, KL, KR, G, dtype=dtype)
+    if mesh is not None and n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P("jobs"))
+        # ilo_ext (arg 12) is the shared window schedule: replicate it
+        args = [jax.device_put(a, spec) if k != 12 else a
+                for k, a in enumerate(args)]
+    fill = get_fanin_fill(KL, KR, G, Lp)
+    bp, sM, sX, sY = fill(*args)
+    EXEC_STATS["launches"] += 1
+    EXEC_STATS["batched_jobs"] += B
+    EXEC_STATS["batched_cells"] += sum(
+        inp["L"] * inp["R"] for inp in inputs)
+    log_out("batched fan-in launch: %d jobs (bucket %dx%d K%d/%d G%d, "
+            "%d shard%s)" % (B, Lp, Rp, KL, KR, G, n_shards,
+                             "s" if n_shards > 1 else ""), 3)
+    bp = np.asarray(bp)
+    sM, sX, sY = np.asarray(sM), np.asarray(sX), np.asarray(sY)
+    D = Lp + Rp - 1
+    ilo = np.zeros(D, np.int32)
+    for b, i in enumerate(idxs):
+        job = jobs[i]
+        settings = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        path, end = finish_fanin(
+            inputs[b], bp[:, b, :], (sM[b], sX[b], sY[b]), ilo,
+            job.left, job.right, job.model, settings,
+            job.left_branch_length, job.right_branch_length,
+            kr_decode=KR)
+        if path is None:
+            # banded dead end: full-matrix retry via the single path
+            job.band = None
+            results[i] = _run_single(job, engine)
+            continue
+        anc = build_ancestral_graph(job.left, job.right, path, job.model,
+                                    settings,
+                                    job.left_branch_length,
+                                    job.right_branch_length,
+                                    job.is_reads_sequence,
+                                    compute_consensus=job.compute_consensus)
+        results[i] = (anc, end)

@@ -16,7 +16,7 @@ from ..graph.builders import build_leaf_graph
 from ..graph.sequence_graph import NON_REAL, XSKIPPED, YSKIPPED
 from ..io.fasta import FastaEntry, clean_sequence
 from ..models import ModelFactory, alphabets as alph
-from ..align import align_pair, AlignSettings
+from ..align import AlignSettings
 from ..tree.newick import TreeNode, parse_newick
 
 
@@ -61,7 +61,8 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                       engine: str = "auto",
                       include_internal_nodes: bool = False,
                       mode454: bool = False,
-                      homopolymer: bool = False) -> ProgressiveResult:
+                      homopolymer: bool = False,
+                      mesh=None) -> ProgressiveResult:
     if isinstance(tree, str):
         tree = parse_newick(tree)
     tree.apply_branch_length_rules()
@@ -86,17 +87,24 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
         leaf.graph = build_leaf_graph(seq, data_type, mode454=mode454,
                                       homopolymer=homopolymer)
 
-    # generation-wise execution; each generation's jobs are independent
+    # generation-wise execution: each generation's jobs are independent,
+    # so they run as one batched kernel launch per shape bucket, sharded
+    # over the mesh's `jobs` axis (the reference's OpenMP wavefront,
+    # node.cpp:227-269, re-expressed data-parallel)
+    from ..parallel.executor import PairJob, execute_pair_jobs
     for gen in generations(tree):
+        jobs = []
         for node in gen:
             dist = node.left.dist + node.right.dist
             model = model_factory.alignment_model(dist)
-            anc, _end = align_pair(node.left.graph, node.right.graph, model,
-                                   settings,
-                                   left_branch_length=node.left.dist,
-                                   right_branch_length=node.right.dist,
-                                   engine=engine)
-            node.graph = anc
+            jobs.append(PairJob(node.left.graph, node.right.graph, model,
+                                settings,
+                                left_branch_length=node.left.dist,
+                                right_branch_length=node.right.dist,
+                                key=node))
+        for job, (anc, _end) in zip(
+                jobs, execute_pair_jobs(jobs, engine=engine, mesh=mesh)):
+            job.key.graph = anc
 
     alignment = extract_alignment(tree, include_internal_nodes,
                                   data_type=data_type)

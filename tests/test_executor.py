@@ -1,0 +1,97 @@
+"""Batched generation executor: parity vs sequential/oracle paths, one
+launch per shape bucket per generation, and jobs-mesh sharding over the
+virtual 8-device CPU mesh (the TPU-native replacement of the
+reference's OpenMP wavefront, node.cpp:227-269)."""
+import numpy as np
+import pytest
+
+from pagan2_tpu.io.fasta import FastaEntry
+from pagan2_tpu.models import alphabets as alph
+from pagan2_tpu.pipeline.progressive import align_progressive, generations
+from pagan2_tpu.parallel import executor
+from pagan2_tpu.tree.newick import parse_newick
+
+
+def _family(n=8, length=120, seed=1):
+    rng = np.random.default_rng(seed)
+    base = rng.choice(list("ACGT"), size=length)
+    entries = []
+    for i in range(n):
+        mut = base.copy()
+        idx = rng.random(length) < 0.15
+        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+        # a couple of indels so paths are not all-match
+        s = "".join(mut)
+        if i % 3 == 1:
+            s = s[: length // 3] + s[length // 3 + 4:]
+        entries.append(FastaEntry(name=f"s{i}", sequence=s))
+    return entries
+
+
+def _balanced_tree(n):
+    def build(lo, hi):
+        if hi - lo == 1:
+            return f"s{lo}:0.1"
+        mid = (lo + hi) // 2
+        return f"({build(lo, mid)},{build(mid, hi)}):0.05"
+    return build(0, n) + ";"
+
+
+def test_batched_matches_sequential_and_counts_launches():
+    entries = _family(8)
+    newick = _balanced_tree(8)
+
+    executor.reset_stats()
+    res = align_progressive(entries, newick, data_type=alph.DNA)
+    batched = {e.name: e.sequence for e in res.alignment}
+    n_gens = len(list(generations(parse_newick(newick))))
+    # every multi-job generation must have gone through the batched
+    # kernel: 8 leaves -> first generation alone has 4 jobs
+    assert executor.EXEC_STATS["batched_jobs"] >= 4
+    assert executor.EXEC_STATS["launches"] <= n_gens + 1
+    assert executor.EXEC_STATS["launches"] >= 1
+
+    res_o = align_progressive(entries, newick, data_type=alph.DNA,
+                              engine="oracle")
+    oracle = {e.name: e.sequence for e in res_o.alignment}
+    assert batched == oracle
+
+
+def test_batched_matches_over_jobs_mesh():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    entries = _family(12, seed=3)
+    newick = _balanced_tree(12)
+
+    executor.reset_stats()
+    mesh = executor.make_jobs_mesh(4)
+    res_m = align_progressive(entries, newick, data_type=alph.DNA,
+                              mesh=mesh)
+    sharded = {e.name: e.sequence for e in res_m.alignment}
+    # first generation alone has 4 leaf-pair jobs (ancestor generations
+    # batch too once they stay within the fan-in kernel's reach)
+    assert executor.EXEC_STATS["batched_jobs"] >= 4
+
+    res = align_progressive(entries, newick, data_type=alph.DNA)
+    assert sharded == {e.name: e.sequence for e in res.alignment}
+
+
+def test_mixed_sizes_bucket_separately():
+    # two very different pair sizes in one generation -> two buckets
+    entries = _family(4, length=40, seed=5)
+    big = _family(4, length=900, seed=7)
+    for i, e in enumerate(big):
+        e.name = f"s{i + 4}"
+    entries += big
+    newick = ("(((s0:0.1,s1:0.1):0.05,(s2:0.1,s3:0.1):0.05):0.02,"
+              "((s4:0.1,s5:0.1):0.05,(s6:0.1,s7:0.1):0.05):0.02);")
+
+    executor.reset_stats()
+    res = align_progressive(entries, newick, data_type=alph.DNA)
+    assert executor.EXEC_STATS["launches"] >= 2  # 40bp and 900bp buckets
+
+    res_o = align_progressive(entries, newick, data_type=alph.DNA,
+                              engine="oracle")
+    assert {e.name: e.sequence for e in res.alignment} == \
+        {e.name: e.sequence for e in res_o.alignment}

@@ -1,0 +1,146 @@
+"""Fan-in ring-buffer kernel (viterbi_fanin): exact parity vs the host
+oracle on graphs with real fan-in (454 / homopolymer error edges,
+ancestors with indels), banded fills, and the batched executor path.
+
+The reference's hot kernel iterates edge pairs per cell
+(viterbi_alignment.cpp:1353-1436) and tunnels every pair, graph or not
+(:44-185); this kernel is the TPU equivalent."""
+import numpy as np
+import pytest
+
+from pagan2_tpu.align import AlignSettings, align_pair
+from pagan2_tpu.align.oracle import PairAligner
+from pagan2_tpu.align.viterbi_fanin import (fanin_align_path, fanin_stats,
+                                            prepare_fanin,
+                                            fanin_device_eligible)
+from pagan2_tpu.graph import build_leaf_graph
+from pagan2_tpu.models import ModelFactory, alphabets as alph
+
+
+def _sig(path):
+    return [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind, p.mp.x_edge_ind,
+             p.mp.y_edge_ind) for p in path]
+
+
+def _graphs(trial, rng, n=40):
+    s1 = "".join(rng.choice(list("AACCGGTT"), size=n))
+    s2 = "".join(rng.choice(list("AACCGGTT"), size=n - 5))
+    g1 = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+    g2 = build_leaf_graph(s2, alph.DNA, mode454=(trial % 2 == 0))
+    return g1, g2, s1, s2
+
+
+def test_fanin_matches_oracle_on_error_edge_graphs():
+    rng = np.random.default_rng(1)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    checked = 0
+    for trial in range(5):
+        g1, g2, s1, s2 = _graphs(trial, rng, n=30 + 6 * trial)
+        if not (fanin_device_eligible(
+                prepare_fanin(g1, g2, model, settings))):
+            continue
+        assert max(fanin_stats(g1)[0], fanin_stats(g2)[0]) > 1
+        opath, oend = PairAligner(g1, g2, model, settings).align()
+        g1b = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+        g2b = build_leaf_graph(s2, alph.DNA, mode454=(trial % 2 == 0))
+        fpath, fend = fanin_align_path(g1b, g2b, model, settings)
+        assert _sig(fpath) == _sig(opath)
+        assert abs(fend.score - oend.score) < 1e-9
+        checked += 1
+    assert checked >= 3
+
+
+def test_fanin_matches_oracle_on_ancestor_graphs():
+    """Deep progressive case: ancestors with indels have skipped edges
+    (fan-in); aligning two such ancestors must match the oracle."""
+    rng = np.random.default_rng(7)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.2)
+    settings = AlignSettings()
+
+    base = rng.choice(list("ACGT"), size=60)
+
+    def leaf(drop):
+        mut = base.copy()
+        idx = rng.random(60) < 0.1
+        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+        s = "".join(mut)
+        if drop:
+            s = s[:20] + s[26:]   # interior indel -> bridging edges
+        return build_leaf_graph(s, alph.DNA)
+
+    anc1, _ = align_pair(leaf(False), leaf(True), model, settings,
+                         engine="oracle")
+    anc2, _ = align_pair(leaf(True), leaf(False), model, settings,
+                         engine="oracle")
+    KL, OL = fanin_stats(anc1)
+    KR, OR = fanin_stats(anc2)
+    assert max(KL, KR) > 1  # the indel really produced fan-in
+
+    import copy
+    a1, a2 = copy.deepcopy(anc1), copy.deepcopy(anc2)
+    opath, oend = PairAligner(anc1, anc2, model, settings).align()
+    fpath, fend = fanin_align_path(a1, a2, model, settings)
+    assert _sig(fpath) == _sig(opath)
+    assert abs(fend.score - oend.score) < 1e-9
+
+
+def test_fanin_banded_matches_unbanded():
+    rng = np.random.default_rng(3)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.2)
+    settings = AlignSettings()
+    base = rng.choice(list("ACGT"), size=300)
+    mut = base.copy()
+    idx = rng.random(300) < 0.08
+    mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    g1 = build_leaf_graph("".join(base), alph.DNA, homopolymer=True)
+    g2 = build_leaf_graph("".join(mut), alph.DNA, homopolymer=True)
+    L = g1.num_sites() - 1
+    R = g2.num_sites() - 1
+    # diagonal band of width 24
+    upper = np.maximum(np.arange(L) * R // L - 12, 0)
+    lower = np.minimum(np.arange(L) * R // L + 12, R - 1)
+
+    import copy
+    g1b, g2b = copy.deepcopy(g1), copy.deepcopy(g2)
+    fpath, fend = fanin_align_path(g1, g2, model, settings)
+    bpath, bend = fanin_align_path(g1b, g2b, model, settings,
+                                   band=(upper, lower))
+    assert _sig(bpath) == _sig(fpath)
+    assert abs(bend.score - fend.score) < 1e-9
+
+
+def test_executor_batches_fanin_generations():
+    """Ancestor generations with fan-in go through the batched fan-in
+    launch (not one-by-one singles)."""
+    from pagan2_tpu.io.fasta import FastaEntry
+    from pagan2_tpu.parallel import executor
+    from pagan2_tpu.pipeline.progressive import align_progressive
+
+    rng = np.random.default_rng(5)
+    base = rng.choice(list("ACGT"), size=100)
+    entries = []
+    for i in range(8):
+        mut = base.copy()
+        idx = rng.random(100) < 0.1
+        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+        s = "".join(mut)
+        if i % 2:
+            s = s[:30] + s[36:]   # indel -> ancestors get skipped edges
+        entries.append(FastaEntry(name=f"s{i}", sequence=s))
+    newick = ("(((s0:0.1,s1:0.1):0.05,(s2:0.1,s3:0.1):0.05):0.02,"
+              "((s4:0.1,s5:0.1):0.05,(s6:0.1,s7:0.1):0.05):0.02);")
+
+    executor.reset_stats()
+    res = align_progressive(entries, newick, data_type=alph.DNA)
+    # 7 jobs total; gen2 (2 jobs) + gen3 (1 job) involve fan-in
+    # ancestors; gen2 must have batched through the fan-in launcher
+    assert executor.EXEC_STATS["batched_jobs"] >= 6, executor.EXEC_STATS
+
+    res_o = align_progressive(entries, newick, data_type=alph.DNA,
+                              engine="oracle")
+    assert {e.name: e.sequence for e in res.alignment} == \
+        {e.name: e.sequence for e in res_o.alignment}
