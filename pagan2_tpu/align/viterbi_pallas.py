@@ -8,16 +8,28 @@ y), but hand-scheduled for the TPU VPU:
 - the whole wavefront state (two generations of M/X/Y row vectors)
   lives in VMEM scratch across the grid, so the only HBM traffic is the
   pre-folded match-score diagonals streaming in (4 B/cell) and packed
-  int8 backpointers streaming out (1 B/cell);
+  backpointers streaming out (1 B/cell);
+- backpointers are packed FOUR STEPS PER f32 LANE with an exact-integer
+  FMA (acc*64 + code, codes are 6 bits so 4 steps < 2^24 stays exact in
+  a float32 mantissa). This avoids the f32->int8 relayout (int8 tiling
+  is (32,128); our sublane dim is B=16) and the per-step lane roll that
+  together cost ~34% of kernel time: the x/m code stays at its SOURCE
+  lane and the host unpacker rolls it to the target lane;
 - per-column penalty rows (gap-ext / gap-open at terminals) are
   reconstructed from lane/diagonal index compares instead of being
   streamed, because they are constant except at j in {0, R-1};
 - candidates are evaluated at their *source* lanes and the winning
-  value/backpointer is rolled one lane, which needs 1 roll per matrix
-  instead of 3 shifted source copies;
+  value is rolled one lane, 1 roll per matrix instead of 3 shifted
+  source copies;
 - match scores are pre-folded with the edge log-weights and log-non-gap
   (ms_f = ms + lw[i] + rw[j] + log_non_gap) so the M update is a single
-  add in the loop.
+  add in the loop;
+- band/validity masks use two precomputed per-matrix lower bounds
+  (vloX folds in i>0, vloY folds in j>0) so each step needs 3 compares
+  + 3 ands instead of 4 compares + 4 ands;
+- the end-corner capture (diagonal d == L+R-2, per job) only executes
+  in grid blocks whose diagonal range intersects [min_corner,
+  max_corner] — everywhere else it is predicated off entirely.
 
 Layout: batch B on sublanes, left sites Lp on lanes, one anti-diagonal
 per inner step; grid steps process TD diagonals per streamed block.
@@ -40,9 +52,12 @@ from .viterbi_sheared import (prepare_sheared, _shear, _bucket,
 # set to True to run the kernel in interpreter mode (CPU tests)
 INTERPRET = False
 
+_BIG = np.int32(2 ** 30)     # "never valid" lower bound sentinel
 
-def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
-            ms_ref, bp_ref, fM_ref, fX_ref, fY_ref, st_ref):
+
+def _kernel(TD, fscal_ref, iscal_ref, cmm_ref, gexti_ref, ol_ref, vlox_ref,
+            vloy_ref, vhi_ref, ms_ref, bp_ref, fM_ref, fX_ref, fY_ref,
+            st_ref):
     B, Lp = gexti_ref.shape
     f = ms_ref.dtype
     neg = jnp.array(NEG, f)
@@ -65,7 +80,6 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         fY_ref[:] = allneg
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-    pgt0 = lane > 0
     gext = fscal_ref[:, 0:1]
     gend = fscal_ref[:, 1:2]
     lgo = fscal_ref[:, 2:3]
@@ -73,19 +87,28 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
     orp0 = fscal_ref[:, 4:5]
     Rdp = iscal_ref[:, 0:1]
     cornerd = iscal_ref[:, 1:2]
-    vlo = vlo_ref[:]
+    vlox = vlox_ref[:]
+    vloy = vloy_ref[:]
     vhi = vhi_ref[:]
     gexti = gexti_ref[:]
     ol = ol_ref[:]
 
-    # wavefront state rides the fori_loop carry (VMEM/vregs); scratch is
-    # only touched at block boundaries with static indices — dynamic
-    # scratch indexing forced per-step buffer copies and was ~20x slower.
-    # The loop is FULLY UNROLLED (unroll=TD): Mosaic then software-
-    # pipelines across steps, which measured 2.15x faster than the
-    # rolled loop on v5e.
-    def body(t, state):
-        m1, x1, y1, m2, x2, y2, fM, fX, fY = state
+    # does any job's corner diagonal land in this block? (scalar; the
+    # capture below is predicated off for every other block)
+    d_first = 1 + blk * TD
+    corner_here = (d_first + TD > cmm_ref[0, 0]) & \
+                  (d_first <= cmm_ref[0, 1])
+
+    # wavefront state rides the (python-unrolled) loop in vregs; scratch
+    # is only touched at block boundaries with static indices — dynamic
+    # scratch indexing forced per-step buffer copies and was ~20x
+    # slower. Mosaic software-pipelines across the unrolled steps.
+    m1, x1, y1 = st_ref[0], st_ref[1], st_ref[2]
+    m2, x2, y2 = st_ref[3], st_ref[4], st_ref[5]
+    acc = jnp.zeros((B, Lp), f)
+    c64 = jnp.array(64.0, f)
+
+    for t in range(TD):
         d = 1 + blk * TD + t
 
         jsrc = (d - 1) - lane       # source column on generation d-1
@@ -115,11 +138,9 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
         u01 = jnp.maximum(t2, x2)
         mc = jnp.maximum(u01, y2)
 
-        valid = (jt >= vlo) & (jt <= vhi)
-        jgt0 = jt > 0
-        okx = valid & pgt0
-        oky = valid & jgt0
-        okm = okx & jgt0
+        okx = (jt >= vlox) & (jt <= vhi)
+        oky = (jt >= vloy) & (jt <= vhi)
+        okm = okx & oky
 
         X = jnp.where(okx, pltpu.roll(xc, 1, axis=1), neg)
         Y = jnp.where(oky, yc, neg)
@@ -127,38 +148,45 @@ def _kernel(TD, fscal_ref, iscal_ref, gexti_ref, ol_ref, vlo_ref, vhi_ref,
 
         # backpointers of -inf cells are never read (backtrack only
         # visits finite cells), so they are left unmasked. Codes are
-        # produced pre-shifted (bpm bits 0-1, bpx 2-3, bpy 4-5) so the
-        # pack is two adds and one roll instead of shifts + two rolls.
-        bx = jnp.where(cx1 > cx0, 4, 0)
-        bx = jnp.where(cx2 > v01, 8, bx)
-        by = jnp.where(cy1 > cy0, 16, 0)
-        by = jnp.where(cy2 > w01, 32, by)
-        bm = jnp.where(x2 > t2, 1, 0)
-        bm = jnp.where(y2 > u01, 2, bm)
-        bp_ref[t] = (pltpu.roll(bx + bm, 1, axis=1) + by).astype(jnp.int8)
+        # produced pre-shifted (bm bits 0-1, bx 2-3, by 4-5); the x/m
+        # part stays at its SOURCE lane (no roll — the host unpacker
+        # rolls it one lane) and four steps pack into one f32 lane via
+        # exact integer FMAs.
+        bx = jnp.where(cx1 > cx0, 4.0, 0.0).astype(f)
+        bx = jnp.where(cx2 > v01, jnp.array(8.0, f), bx)
+        by = jnp.where(cy1 > cy0, 16.0, 0.0).astype(f)
+        by = jnp.where(cy2 > w01, jnp.array(32.0, f), by)
+        bm = jnp.where(x2 > t2, 1.0, 0.0).astype(f)
+        bm = jnp.where(y2 > u01, jnp.array(2.0, f), bm)
+        acc = acc * c64 + ((bx + bm) + by)
+        if t % 4 == 3:
+            bp_ref[t // 4] = acc
+            acc = jnp.zeros((B, Lp), f)
 
-        hit = d == cornerd
-        fM = jnp.where(hit, M, fM)
-        fX = jnp.where(hit, X, fX)
-        fY = jnp.where(hit, Y, fY)
-        return (M, X, Y, m1, x1, y1, fM, fX, fY)
+        @pl.when(corner_here)
+        def _capture(M=M, X=X, Y=Y, d=d):
+            hit = d == cornerd
+            fM_ref[:] = jnp.where(hit, M, fM_ref[:])
+            fX_ref[:] = jnp.where(hit, X, fX_ref[:])
+            fY_ref[:] = jnp.where(hit, Y, fY_ref[:])
 
-    state = (st_ref[0], st_ref[1], st_ref[2],
-             st_ref[3], st_ref[4], st_ref[5],
-             fM_ref[:], fX_ref[:], fY_ref[:])
-    state = jax.lax.fori_loop(0, TD, body, state, unroll=TD)
-    st_ref[0], st_ref[1], st_ref[2] = state[0], state[1], state[2]
-    st_ref[3], st_ref[4], st_ref[5] = state[3], state[4], state[5]
-    fM_ref[:], fX_ref[:], fY_ref[:] = state[6], state[7], state[8]
+        m2, x2, y2 = m1, x1, y1
+        m1, x1, y1 = M, X, Y
+
+    st_ref[0], st_ref[1], st_ref[2] = m1, x1, y1
+    st_ref[3], st_ref[4], st_ref[5] = m2, x2, y2
 
 
 @functools.partial(jax.jit, static_argnames=("TD",))
-def pallas_fill(fscal, iscal, gexti, ol, vlo, vhi, ms, TD=16):
+def pallas_fill(fscal, iscal, gexti, ol, vlox, vloy, vhi, ms, TD=16):
     """Run the fill. ms is (Dpk, B, Lp) pre-folded match-score diagonals
-    for d = 1..; returns (bp (Dpk, B, Lp) int8, fM, fX, fY (B, Lp))."""
+    for d = 1..; returns (bpp (Dpk//4, B, Lp) f32 packed backpointers —
+    see unpack_bp — and fM, fX, fY (B, Lp) corner scores)."""
+    assert TD % 4 == 0
     Dpk, B, Lp = ms.shape
     f = ms.dtype
     grid = Dpk // TD
+    cmm = jnp.stack([jnp.min(iscal[:, 1]), jnp.max(iscal[:, 1])])[None, :]
     resident = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -167,6 +195,9 @@ def pallas_fill(fscal, iscal, gexti, ol, vlo, vhi, ms, TD=16):
         in_specs=[
             resident(fscal.shape),
             resident(iscal.shape),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            resident((B, Lp)),
             resident((B, Lp)),
             resident((B, Lp)),
             resident((B, Lp)),
@@ -175,21 +206,37 @@ def pallas_fill(fscal, iscal, gexti, ol, vlo, vhi, ms, TD=16):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
+            pl.BlockSpec((TD // 4, B, Lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             resident((B, Lp)),
             resident((B, Lp)),
             resident((B, Lp)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Dpk, B, Lp), jnp.int8),
+            jax.ShapeDtypeStruct((Dpk // 4, B, Lp), f),
             jax.ShapeDtypeStruct((B, Lp), f),
             jax.ShapeDtypeStruct((B, Lp), f),
             jax.ShapeDtypeStruct((B, Lp), f),
         ],
         scratch_shapes=[pltpu.VMEM((6, B, Lp), f)],
         interpret=INTERPRET,
-    )(fscal, iscal, gexti, ol, vlo, vhi, ms)
+    )(fscal, iscal, cmm, gexti, ol, vlox, vloy, vhi, ms)
+
+
+def unpack_bp(bpp):
+    """(Dpk//4, B, Lp) packed f32 -> (Dpk, B, Lp) uint8 planes in the
+    sheared layout (row r holds diagonal r+1, x/m bits rolled to their
+    target lane — identical to what the old int8 kernel produced)."""
+    v = np.asarray(bpp).astype(np.int32)          # exact: values < 2^24
+    G, B, Lp = v.shape
+    raw = np.stack([(v >> 18) & 63, (v >> 12) & 63,
+                    (v >> 6) & 63, v & 63], axis=1)
+    raw = raw.reshape(G * 4, B, Lp)
+    # x/m code (bits 0-3) was written at the source lane; by (bits 4-5)
+    # at the target lane. Roll x/m one lane to reassemble (circular,
+    # matching pltpu.roll; lane 0's x/m bits are never read: i=0 has no
+    # X/M predecessors).
+    return (np.roll(raw & 15, 1, axis=2) + (raw & 48)).astype(np.uint8)
 
 
 # ----------------------------------------------------------------------
@@ -221,39 +268,51 @@ def pallas_job_arrays(inp, Lp, Rp, band=None, dtype=np.float32):
     ol = np.zeros(Lp, dtype)
     ol[:L] = inp["open_l"]
 
-    vlo = np.ones(Lp, np.int32)          # empty interval beyond L
-    vhi = np.zeros(Lp, np.int32)
+    # per-matrix valid-column lower bounds: X needs i>0 (fold into
+    # lane 0), Y/M need j>0 (fold into the bound); lanes >= L never
+    # valid. vhi is the shared upper bound.
     if band is None:
-        vlo[:L] = 0
-        vhi[:L] = R - 1
+        lo = np.zeros(Lp, np.int64)
+        hi = np.full(Lp, R - 1, np.int64)
     else:
         upper, lower = band
-        vlo[:L] = np.maximum(np.asarray(upper[:L], np.int32), 0)
-        vhi[:L] = np.minimum(np.asarray(lower[:L], np.int32), R - 1)
+        lo = np.zeros(Lp, np.int64)
+        lo[:L] = np.maximum(np.asarray(upper[:L], np.int64), 0)
+        hi = np.full(Lp, R - 1, np.int64)
+        hi[:L] = np.minimum(np.asarray(lower[:L], np.int64), R - 1)
+    vlox = np.minimum(lo, _BIG).astype(np.int32)
+    vlox[0] = _BIG
+    vlox[L:] = _BIG
+    vloy = np.maximum(lo, 1)
+    vloy = np.minimum(vloy, _BIG).astype(np.int32)
+    vloy[L:] = _BIG
+    vhi = np.full(Lp, -1, np.int32)
+    vhi[:L] = hi[:L].astype(np.int32)
 
     fscal = np.array([inp["gext"], inp["gend"], inp["lgo"], inp["lng"],
                       inp["orp0"], 0, 0, 0], dtype)
     iscal = np.array([R, L + R - 2, 0, 0, 0, 0, 0, 0], np.int32)
-    return dict(ms_sh=ms_sh, gexti=gexti, ol=ol, vlo=vlo, vhi=vhi,
-                fscal=fscal, iscal=iscal)
+    return dict(ms_sh=ms_sh, gexti=gexti, ol=ol, vlox=vlox, vloy=vloy,
+                vhi=vhi, fscal=fscal, iscal=iscal)
 
 
 def pallas_batch_args(jobs: list[dict], Lp: int, Rp: int, TD: int = 16):
     """Stack per-job arrays (from pallas_job_arrays) into kernel args."""
-    B = len(jobs)
     Dn = Lp + Rp - 2
     Dpk = -(-Dn // TD) * TD
     ms = jnp.stack([j["ms_sh"] for j in jobs], axis=1)      # (Dn, B, Lp)
     if Dpk > Dn:
+        B = len(jobs)
         ms = jnp.concatenate(
             [ms, jnp.zeros((Dpk - Dn, B, Lp), ms.dtype)], axis=0)
     fscal = jnp.asarray(np.stack([j["fscal"] for j in jobs]))
     iscal = jnp.asarray(np.stack([j["iscal"] for j in jobs]))
     gexti = jnp.asarray(np.stack([j["gexti"] for j in jobs]))
     ol = jnp.asarray(np.stack([j["ol"] for j in jobs]))
-    vlo = jnp.asarray(np.stack([j["vlo"] for j in jobs]))
+    vlox = jnp.asarray(np.stack([j["vlox"] for j in jobs]))
+    vloy = jnp.asarray(np.stack([j["vloy"] for j in jobs]))
     vhi = jnp.asarray(np.stack([j["vhi"] for j in jobs]))
-    return (fscal, iscal, gexti, ol, vlo, vhi, ms)
+    return (fscal, iscal, gexti, ol, vlox, vloy, vhi, ms)
 
 
 def pallas_align_path(left, right, model, settings: AlignSettings,
@@ -272,18 +331,18 @@ def pallas_align_path(left, right, model, settings: AlignSettings,
     def run(bnd):
         job = pallas_job_arrays(inp, Lp, Rp, band=bnd)
         args = pallas_batch_args([job], Lp, Rp, TD)
-        bp, fM, fX, fY = pallas_fill(*args, TD=TD)
+        bpp, fM, fX, fY = pallas_fill(*args, TD=TD)
         li = inp["L"] - 1
         final = np.array([np.asarray(fM)[0, li], np.asarray(fX)[0, li],
                           np.asarray(fY)[0, li]])
-        return bp, final
+        return unpack_bp(bpp), final
 
     bp, final = run(band)
     if band is not None and not np.isfinite(final).any():
         bp, final = run(None)
 
     cells = _ShearedCells.__new__(_ShearedCells)
-    cells.bp = _OffsetBP(np.asarray(bp)[:, 0, :])
+    cells.bp = _OffsetBP(bp[:, 0, :])
     cells.left = left
     cells.right = right
     end = _end_corner_linear(final, left, right, model, inp["L"], inp["R"])
