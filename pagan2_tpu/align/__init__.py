@@ -101,19 +101,45 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         # sampling draws from fwd probabilities (basic_alignment.h:621-625)
         from dataclasses import replace
         settings = replace(settings, compute_full_score=True)
-    if sampling:
+    if sampling or settings.compute_full_score:
         import numpy as np
-        rng = rng or _RNG or np.random.default_rng()
-        aligner = PairAligner(left, right, model, settings,
-                              left_branch_length, right_branch_length)
-        end = aligner.fill()
+        from .viterbi_sheared import is_linear_chain
+        if sampling:
+            rng = rng or _RNG or np.random.default_rng()
+        use_device = (engine in ("jax", "auto")
+                      and not settings.pair_end_reads
+                      and is_linear_chain(left) and is_linear_chain(right))
         from ..io import plots
-        if plots.posterior_sink_active():
-            plots.add_posterior_figure(aligner)
-        if settings.sample_path:
-            path, _send = aligner.sample_path(rng)
+        if use_device:
+            # device fwd/bwd probability planes (scaled sheared scans)
+            # replace the oracle's O(L*R) host loops
+            from .fullprob import (FullProbPlanes, fullprob_viterbi_path,
+                                   sample_path_planes)
+            planes = FullProbPlanes(left, right, model, settings)
+            if plots.posterior_sink_active():
+                plots.add_posterior_figure_planes(planes)
+            if settings.sample_path:
+                path, end = sample_path_planes(planes, settings, rng)
+            else:
+                path, end, planes = fullprob_viterbi_path(
+                    left, right, model, settings,
+                    left_branch_length, right_branch_length, planes=planes)
+
+            def draw_extra():
+                return sample_path_planes(planes, settings, rng)[0]
         else:
-            path = aligner._backtrack(PathPtr(end, True))
+            aligner = PairAligner(left, right, model, settings,
+                                  left_branch_length, right_branch_length)
+            end = aligner.fill()
+            if plots.posterior_sink_active():
+                plots.add_posterior_figure(aligner)
+            if settings.sample_path:
+                path, _send = aligner.sample_path(rng)
+            else:
+                path = aligner._backtrack(PathPtr(end, True))
+
+            def draw_extra():
+                return aligner.sample_path(rng)[0]
         anc = build_ancestral_graph(left, right, path, model, settings,
                                     left_branch_length, right_branch_length,
                                     is_reads_sequence,
@@ -121,9 +147,8 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         if settings.sample_additional_paths > 0:
             from .sampling import merge_sampled_graph
             for _ in range(settings.sample_additional_paths):
-                spath, _ = aligner.sample_path(rng)
                 sg = build_ancestral_graph(
-                    left, right, spath, model, settings,
+                    left, right, draw_extra(), model, settings,
                     left_branch_length, right_branch_length,
                     is_reads_sequence)
                 merge_sampled_graph(anc, sg)

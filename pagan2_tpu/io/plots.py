@@ -144,6 +144,14 @@ def add_posterior_figure(aligner, title: str = ""):
     _POSTERIOR_SINK.append((title, post))
 
 
+def add_posterior_figure_planes(planes, title: str = ""):
+    """Record one pairwise DP posterior matrix from device-computed
+    probability planes (align.fullprob.FullProbPlanes)."""
+    if _POSTERIOR_SINK is None:
+        return
+    _POSTERIOR_SINK.append((title, planes.posterior_plane()))
+
+
 def write_mpost_posterior_plots(path: str, slope_up: bool = False):
     """Flush collected posterior matrices as MetaPost heatmaps.
     slope_up mirrors --plot-slope-up (y axis increasing upward)."""
