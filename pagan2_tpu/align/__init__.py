@@ -96,6 +96,18 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
     if is_reads_sequence:
         settings = settings.for_reads()
 
+    if settings.pair_end_reads and settings.reduced_terminal_gap_penalties:
+        # strip the break markers once, up front, so every engine
+        # (oracle, sheared, banded) sees the same read1 boundaries
+        # (mark_no_gap_penalty_sites, basic_alignment.h:630-676)
+        from dataclasses import replace
+        from .oracle import mark_no_gap_penalty_sites
+        xr = mark_no_gap_penalty_sites(left)
+        yr = mark_no_gap_penalty_sites(right)
+        if xr >= 0 or yr >= 0:
+            settings = replace(settings, x_read1_length=xr,
+                               y_read1_length=yr)
+
     sampling = settings.sample_path or settings.sample_additional_paths > 0
     if sampling and not settings.compute_full_score:
         # sampling draws from fwd probabilities (basic_alignment.h:621-625)
@@ -163,7 +175,11 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
     end = None
     if engine in ("jax", "auto"):
         try:
-            ok = not (settings.pair_end_reads or settings.compute_full_score)
+            # full-prob/sampling were handled above; pair-end penalties
+            # are positional vectors in the sheared prep, so chain pairs
+            # stay on the device even with --pair-end (fan-in pair-end
+            # falls back to the oracle below)
+            ok = not settings.compute_full_score
             from .viterbi_sheared import (is_linear_chain,
                                           sheared_align_path, _bucket)
             if ok and is_linear_chain(left) and is_linear_chain(right):
@@ -190,7 +206,7 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                     path, end = sheared_align_path(
                         left, right, model, settings,
                         left_branch_length, right_branch_length, band=band)
-            elif ok:
+            elif ok and not settings.pair_end_reads:
                 # graph fan-in: ring-buffer sheared kernel when the
                 # edge offsets are bounded (454/homopolymer reads,
                 # ancestors with indels), generic gather kernel beyond

@@ -117,7 +117,10 @@ def _create_sites(anc, left, right, path, model, s,
 
 
 def _read1(s, is_x):
-    return -1  # pair-end read1 length wiring arrives with pair-end support
+    """Pair-end read1 boundary (basic_alignment.cpp:85-88: the ancestor
+    site covering the boundary child site is re-marked BREAK_START so
+    the next alignment up can split the pair edge there)."""
+    return s.x_read1_length if is_x else s.y_read1_length
 
 
 def _site_consensus(anc, idx, left, lp, right, rp, is_dna,
@@ -265,6 +268,18 @@ def _transfer_child_edge(anc, child_seq, child_eid, child_index, branch_length,
             if child_seq.edges.end[child_eid] - \
                     child_seq.edges.start[child_eid] == 1:
                 end = start + 1
+
+    # pair-end: an edge spanning the read1/read2 boundary is split in
+    # two so the spacer stays a separate edge (basic_alignment.cpp:543-566)
+    if s.pair_end_reads and anc.site_type[start] == BREAK_START_SITE \
+            and end - start > 1:
+        anc.site_type[start] = REAL_SITE
+        _transfer(anc, child_seq, child_eid, start, start + 1, edge_weight,
+                  branch_length, s, adjust_posterior_weight, branch_weight)
+        end2 = child_index[child_seq.edges.end[child_eid]]
+        _transfer(anc, child_seq, child_eid, end2 - 1, end2, edge_weight,
+                  branch_length, s, adjust_posterior_weight, branch_weight)
+        return
 
     _transfer(anc, child_seq, child_eid, start, end, edge_weight,
               branch_length, s, adjust_posterior_weight, branch_weight)

@@ -73,6 +73,24 @@ def first_is_bigger(a: float, b: float) -> bool:
     return a > b
 
 
+def mark_no_gap_penalty_sites(g) -> int:
+    """Strip pair-end break markers from one graph and return the
+    read1-length boundary (mark_no_gap_penalty_sites,
+    basic_alignment.h:639-674: BREAK_START records the boundary and
+    becomes real; the BREAK_STOP right after it becomes real and stops
+    the scan). Returns -1 when no boundary is present."""
+    from ..graph.sequence_graph import BREAK_STOP_SITE
+    read1 = -1
+    for i in range(g.num_sites()):
+        if g.site_type[i] == BREAK_START_SITE:
+            read1 = i
+            g.site_type[i] = REAL_SITE
+        if g.site_type[i] == BREAK_STOP_SITE:
+            g.site_type[i] = REAL_SITE
+            break
+    return read1
+
+
 class PairAligner:
     """One pairwise alignment: fill, (optional) fwd/bwd full probability,
     backtrack. Produces the DP path; graph building lives in ancestral.py."""
@@ -95,17 +113,17 @@ class PairAligner:
         # basic_alignment.h:633-676)
         self.x_length = left.num_sites() if settings.reduced_terminal_gap_penalties else -1
         self.y_length = right.num_sites() if settings.reduced_terminal_gap_penalties else -1
-        self.x_read1_length = -1
-        self.y_read1_length = -1
+        # read1 boundaries may arrive pre-stripped via settings
+        # (align_pair marks them once so every engine sees them)
+        self.x_read1_length = settings.x_read1_length
+        self.y_read1_length = settings.y_read1_length
         if settings.pair_end_reads and settings.reduced_terminal_gap_penalties:
-            for i in range(left.num_sites()):
-                if left.site_type[i] == BREAK_START_SITE:
-                    self.x_read1_length = i
-                    left.site_type[i] = REAL_SITE
-            for i in range(right.num_sites()):
-                if right.site_type[i] == BREAK_START_SITE:
-                    self.y_read1_length = i
-                    right.site_type[i] = REAL_SITE
+            xr = mark_no_gap_penalty_sites(left)
+            if xr >= 0:
+                self.x_read1_length = xr
+            yr = mark_no_gap_penalty_sites(right)
+            if yr >= 0:
+                self.y_read1_length = yr
 
         n, m = self.L, self.R
         self.M = [[MatrixPtr() for _ in range(m)] for _ in range(n)]

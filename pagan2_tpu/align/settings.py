@@ -24,6 +24,11 @@ class AlignSettings:
     no_terminal_edges: bool = False
     edges_for_skipped_flanked_by_gaps: bool = False
     pair_end_reads: bool = False
+    # pair-end read1 boundary sites (mark_no_gap_penalty_sites,
+    # basic_alignment.h:630-676): set by align_pair after stripping the
+    # BREAK_START markers from the input graphs; -1 = no boundary
+    x_read1_length: int = -1
+    y_read1_length: int = -1
     sample_path: bool = False
     sample_additional_paths: int = 0
     # anchoring (--no-anchors / --use-prefix-anchors; node.cpp:87-152).

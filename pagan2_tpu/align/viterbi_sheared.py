@@ -221,6 +221,19 @@ def prepare_sheared(left: SequenceGraph, right: SequenceGraph,
         open_l[0] = 0.0
         open_r[0] = 0.0
 
+    # pair-end read1 boundary (viterbi_alignment.cpp:866-884 gap type,
+    # basic_alignment.h:497-513 zeroed open penalty at the boundary;
+    # gap close is log(1.0)=0 everywhere so needs no vector)
+    if settings.pair_end_reads:
+        if 0 <= settings.x_read1_length < L:
+            gext_i[settings.x_read1_length] = m.log_gap_break_ext()
+            if settings.reduced_terminal_gap_penalties:
+                open_l[settings.x_read1_length] = 0.0
+        if 0 <= settings.y_read1_length < R:
+            gext_j[settings.y_read1_length] = m.log_gap_break_ext()
+            if settings.reduced_terminal_gap_penalties:
+                open_r[settings.y_read1_length] = 0.0
+
     def edge_logw(g, i):
         w = float(g.edges.weight[g.bwd[i][0]])
         return float(np.float32(np.log(w))) if w > 0 else NEG

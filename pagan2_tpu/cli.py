@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--gap-extension", type=float)
     m.add_argument("--end-gap-extension", type=float)
     m.add_argument("--pair-read-gap-extension", type=float)
+    m.add_argument("--pair-end", action="store_true",
+                   help="treat '0'-joined FASTQ reads as pair-end pairs "
+                        "(activates the reference's latent pair-end "
+                        "machinery, basic_alignment.h:584-586 — the "
+                        "reference declares but never wires this flag)")
     m.add_argument("--mostcommon", action="store_true")
     m.add_argument("--ambiguity-factor", type=float, default=1.0)
     m.add_argument("--no-log-odds", action="store_true")
@@ -412,6 +417,7 @@ def make_settings(args):
                             args.mpost_posterior_plot_file is not None),
         sample_path=args.sample_path,
         sample_additional_paths=args.sample_additional_paths,
+        pair_end_reads=args.pair_end,
         # set_additional_settings (basic_alignment.h:618-619)
         weight_edges=(args.weight_sampled_edges and
                       args.sample_additional_paths > 0),

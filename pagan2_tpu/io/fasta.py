@@ -96,7 +96,9 @@ def clean_sequence(seq: str, data_type: str) -> str:
     (Fasta_reader alphabet cleanup)."""
     seq = seq.upper().replace("-", "").replace(".", "")
     if data_type == "dna":
-        ok = set("ACGTRYMKWSBDHVN")
+        # '0' is the pair-end read joint marker: the graph builders skip
+        # it (sequence.cpp:173,390), so it must survive cleanup
+        ok = set("ACGTRYMKWSBDHVN0")
         return "".join(ch if ch in ok else ("T" if ch == "U" else "N")
                        for ch in seq)
     ok = set("ARNDCQEGHILKMFPSTWYVX")

@@ -1,0 +1,160 @@
+"""Pair-end read support: read1-boundary marking, pair-break gap
+penalties in the DP (oracle and sheared device kernel), the ancestral
+BREAK_START re-mark, and the boundary edge split
+(basic_alignment.h:630-676, :497-542; basic_alignment.cpp:85-88,
+543-566; viterbi_alignment.cpp:866-884). NB the reference declares but
+never wires --pair-end (basic_alignment.h:584-586 is commented out);
+this implements the documented intent of its latent machinery."""
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from pagan2_tpu.graph import build_leaf_graph
+from pagan2_tpu.graph.sequence_graph import (BREAK_START_SITE,
+                                             BREAK_STOP_SITE, REAL_SITE)
+from pagan2_tpu.models import ModelFactory, alphabets as alph
+from pagan2_tpu.align import align_pair, AlignSettings, PairAligner
+from pagan2_tpu.align.oracle import mark_no_gap_penalty_sites
+
+
+def _pe_graph(read1: str, read2: str):
+    """'0'-joined FASTQ pair (sequence.cpp:389-422: the site before the
+    '0' becomes BREAK_START, the one after BREAK_STOP)."""
+    seq = read1 + "0" + read2
+    qual = "I" * len(seq)
+    return build_leaf_graph(seq, alph.DNA, quality=qual)
+
+
+@pytest.fixture
+def model():
+    return ModelFactory(alph.DNA).alignment_model(0.3)
+
+
+def test_break_sites_built():
+    g = _pe_graph("ACGT", "TTGG")
+    types = [g.site_type[i] for i in range(g.num_sites())]
+    assert types[4] == BREAK_START_SITE
+    assert types[5] == BREAK_STOP_SITE
+    assert g.num_sites() == 10  # start + 8 bases + stop
+
+
+def test_mark_no_gap_penalty_sites_strips_and_records():
+    g = _pe_graph("ACGT", "TTGG")
+    r1 = mark_no_gap_penalty_sites(g)
+    assert r1 == 4
+    assert all(g.site_type[i] == REAL_SITE
+               for i in range(1, g.num_sites() - 1))
+
+
+def test_sheared_matches_oracle_pair_end(model):
+    """Device sheared path must reproduce the oracle's path exactly with
+    pair-break penalties active. The spacer between the reads makes the
+    middle gap nearly free (break_ext=0.99 vs ext=0.8), so the aligned
+    pair pattern differs from the no-pair-end run."""
+    rng = np.random.default_rng(0)
+    r1 = "".join(rng.choice(list("ACGT"), 20))
+    r2 = "".join(rng.choice(list("ACGT"), 20))
+    # reference sequence containing both reads with an insert between
+    mid = "".join(rng.choice(list("ACGT"), 30))
+    ref = r1 + mid + r2
+
+    s = replace(AlignSettings(), pair_end_reads=True)
+
+    gl_o = build_leaf_graph(ref, alph.DNA)
+    gr_o = _pe_graph(r1, r2)
+    so = replace(s)
+    a = PairAligner(gl_o, gr_o, model, so)
+    opath, oend = a.align()
+    assert a.y_read1_length == 20
+
+    gl_d = build_leaf_graph(ref, alph.DNA)
+    gr_d = _pe_graph(r1, r2)
+    from pagan2_tpu.align.oracle import mark_no_gap_penalty_sites as mark
+    xr = mark(gl_d)
+    yr = mark(gr_d)
+    sd = replace(s, x_read1_length=xr, y_read1_length=yr)
+    from pagan2_tpu.align.viterbi_sheared import sheared_align_path
+    dpath, dend = sheared_align_path(gl_d, gr_d, model, sd)
+
+    okeys = [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    dkeys = [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in dpath]
+    assert okeys == dkeys
+    assert dend.score == pytest.approx(oend.score, rel=1e-6)
+
+
+def test_pair_break_changes_alignment(model):
+    """With pair-end on, the spacer gap costs break_ext per column
+    (0.99); without it, ext (0.8) — a long insert between the reads
+    should score higher with pair-end."""
+    rng = np.random.default_rng(1)
+    r1 = "".join(rng.choice(list("ACGT"), 15))
+    r2 = "".join(rng.choice(list("ACGT"), 15))
+    mid = "".join(rng.choice(list("ACGT"), 40))
+    ref = r1 + mid + r2
+
+    def run(pair_end):
+        gl = build_leaf_graph(ref, alph.DNA)
+        gr = _pe_graph(r1, r2)
+        s = replace(AlignSettings(), pair_end_reads=pair_end)
+        a = PairAligner(gl, gr, model, s)
+        _, end = a.align()
+        return end.score
+
+    assert run(True) > run(False)
+
+
+def test_align_pair_end_to_end_marks_ancestor(model):
+    """align_pair with pair_end_reads: the ancestor graph must re-mark
+    the site covering the read1 boundary as BREAK_START (so the next
+    alignment up can split there), unless an edge spanning it already
+    consumed the mark (basic_alignment.cpp:85-88, 543-566)."""
+    rng = np.random.default_rng(2)
+    r1 = "".join(rng.choice(list("ACGT"), 18))
+    r2 = "".join(rng.choice(list("ACGT"), 18))
+    mid = "".join(rng.choice(list("ACGT"), 25))
+    ref = r1 + mid + r2
+
+    gl = build_leaf_graph(ref, alph.DNA)
+    gr = _pe_graph(r1, r2)
+    s = replace(AlignSettings(), pair_end_reads=True)
+    anc, end = align_pair(gl, gr, model, s, is_reads_sequence=True)
+    assert anc is not None
+    assert anc.check_valid_graph()
+    # the boundary child site (right graph site 18) maps to an ancestor
+    # site; it must have been marked break_start at creation (it may
+    # since have been stripped by the edge split, in which case a split
+    # edge pair exists around it)
+    bidx = [i for i in range(anc.num_sites()) if anc.child_r[i] == 18]
+    assert len(bidx) == 1
+
+
+def test_device_and_oracle_agree_through_align_pair(model):
+    """align_pair auto engine (sheared) and forced oracle must produce
+    identical ancestors for a pair-end alignment."""
+    rng = np.random.default_rng(3)
+    r1 = "".join(rng.choice(list("ACGT"), 12))
+    r2 = "".join(rng.choice(list("ACGT"), 12))
+    ref = r1 + "".join(rng.choice(list("ACGT"), 20)) + r2
+
+    def run(engine):
+        gl = build_leaf_graph(ref, alph.DNA)
+        gr = _pe_graph(r1, r2)
+        s = replace(AlignSettings(), pair_end_reads=True)
+        anc, _ = align_pair(gl, gr, model, s, engine=engine)
+        return anc
+
+    a1 = run("auto")
+    a2 = run("oracle")
+    assert a1.num_sites() == a2.num_sites()
+    assert [a1.states[i] for i in range(a1.num_sites())] == \
+        [a2.states[i] for i in range(a2.num_sites())]
+    assert [a1.site_type[i] for i in range(a1.num_sites())] == \
+        [a2.site_type[i] for i in range(a2.num_sites())]
+    assert len(a1.edges) == len(a2.edges)
+
+
+def test_cli_pair_end_flag():
+    from pagan2_tpu.cli import build_parser
+    args = build_parser().parse_args(["--pair-end", "-q", "x.fastq",
+                                      "-o", "out"])
+    assert args.pair_end
