@@ -1,0 +1,130 @@
+"""Band-axis sharding of one pair over a device mesh: the shard_map
+halo-exchange fill must produce BIT-IDENTICAL backpointer planes, path
+and end score to the 1-device sheared kernel (and the host oracle),
+full-matrix and banded (VERDICT r1 item 5; no reference counterpart —
+viterbi_alignment.cpp:260-282 is single-threaded per pair)."""
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from pagan2_tpu.graph import build_leaf_graph
+from pagan2_tpu.models import ModelFactory, alphabets as alph
+from pagan2_tpu.align import AlignSettings
+from pagan2_tpu.align.viterbi_sheared import (sheared_align_path,
+                                              shear_device_inputs,
+                                              prepare_sheared,
+                                              sheared_fill, _bucket)
+from pagan2_tpu.align.viterbi_shardband import (shardband_align_path,
+                                                shardband_args,
+                                                shardband_fill)
+
+
+def _band_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("band",))
+
+
+def _pair(seed, n1, n2, sub=0.12):
+    rng = np.random.default_rng(seed)
+    base = rng.choice(list("ACGT"), size=max(n1, n2))
+    s1 = "".join(base[:n1])
+    mut = base[:n2].copy()
+    idx = rng.random(n2) < sub
+    mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    g1 = build_leaf_graph(s1, alph.DNA)
+    g2 = build_leaf_graph("".join(mut), alph.DNA)
+    return g1, g2
+
+
+@pytest.fixture
+def model():
+    return ModelFactory(alph.DNA).alignment_model(0.3)
+
+
+@pytest.mark.parametrize("ndev,n1,n2,H", [(8, 300, 290, 16),
+                                          (4, 129, 257, 8),
+                                          (2, 64, 64, 32)])
+def test_bp_planes_bit_identical(model, ndev, n1, n2, H):
+    g1, g2 = _pair(0, n1, n2)
+    s = AlignSettings()
+    mesh = _band_mesh(ndev)
+
+    args, meta = shardband_args(g1, g2, model, s, ndev, H=H)
+    bp_sh, final_sh = shardband_fill(mesh, args, H=H)
+    bp_sh = np.asarray(bp_sh)
+    final_sh = np.asarray(final_sh)
+
+    inp = prepare_sheared(g1, g2, model, s, np.float64)
+    ref_args = shear_device_inputs(inp, Lp=_bucket(inp["L"]),
+                                   Rp=_bucket(inp["R"]))
+    bp_1, final_1 = sheared_fill(*ref_args)
+    bp_1 = np.asarray(bp_1)
+
+    L, R = meta["L"], meta["R"]
+    # sharded output rows are d=1.. (no d0 row); compare real cells
+    for d in range(1, L + R - 1):
+        a = bp_sh[d - 1, :L]
+        b = bp_1[d, :L]
+        np.testing.assert_array_equal(a, b, err_msg=f"diagonal {d}")
+    np.testing.assert_allclose(final_sh, np.asarray(final_1), rtol=0,
+                               atol=0)
+
+
+def test_path_matches_oracle(model):
+    from pagan2_tpu.align.oracle import PairAligner
+    g1, g2 = _pair(3, 150, 140)
+    s = AlignSettings()
+    mesh = _band_mesh(8)
+    path, end = shardband_align_path(g1, g2, model, s, mesh)
+
+    g1b, g2b = _pair(3, 150, 140)
+    opath, oend = PairAligner(g1b, g2b, model, s).align()
+    okeys = [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    dkeys = [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path]
+    assert okeys == dkeys
+    assert end.score == pytest.approx(oend.score, rel=1e-9)
+
+
+def test_banded_path_and_fallback(model):
+    """A generous band gives the same path as the full sharded fill; an
+    impossible band triggers the full-matrix fallback
+    (viterbi_alignment.cpp:298-317)."""
+    g1, g2 = _pair(5, 200, 200, sub=0.05)
+    s = AlignSettings()
+    mesh = _band_mesh(8)
+    L = g1.num_sites() - 1
+    R = g2.num_sites() - 1
+
+    upper = np.maximum(np.arange(L) - 25, 0)
+    lower = np.minimum(np.arange(L) + 25, R - 1)
+    pb, eb = shardband_align_path(g1, g2, model, s, mesh,
+                                  band=(upper, lower))
+    g1f, g2f = _pair(5, 200, 200, sub=0.05)
+    pf, ef = shardband_align_path(g1f, g2f, model, s, mesh)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in pb] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in pf]
+    assert eb.score == pytest.approx(ef.score, rel=1e-12)
+
+    # band that cannot reach the corner: upper bound beyond R everywhere
+    bad_u = np.full(L, R + 5)
+    bad_l = np.full(L, R + 6)
+    g1x, g2x = _pair(5, 200, 200, sub=0.05)
+    px, ex = shardband_align_path(g1x, g2x, model, s, mesh,
+                                  band=(np.minimum(bad_u, R - 1),
+                                        np.minimum(bad_l, R - 1)))
+    assert np.isfinite(ex.score)
+
+
+def test_uneven_split_and_single_device(model):
+    """Lane counts that do not divide the mesh evenly still work, and a
+    1-device 'mesh' degenerates to the plain kernel."""
+    g1, g2 = _pair(9, 77, 203)
+    s = AlignSettings()
+    for nd in (1, 3, 8):
+        mesh = _band_mesh(nd)
+        path, end = shardband_align_path(g1, g2, model, s, mesh)
+        g1o, g2o = _pair(9, 77, 203)
+        opath, oend = sheared_align_path(g1o, g2o, model, s)
+        assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+            [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+        assert end.score == pytest.approx(oend.score, rel=1e-12)
