@@ -558,8 +558,9 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
                            dtype=dtype)
         fill = get_fanin_fill(KL, KR, G, W)
         bp, sM, sX, sY = fill(*args)
-        return (np.asarray(bp)[:, 0, :],
-                (np.asarray(sM)[0], np.asarray(sX)[0], np.asarray(sY)[0]),
+        from ..utils import fetch_np
+        return (fetch_np(bp)[:, 0, :],
+                (fetch_np(sM)[0], fetch_np(sX)[0], fetch_np(sY)[0]),
                 ilo)
 
     bp, snaps, ilo = run(band)

@@ -180,6 +180,18 @@ def _shear(vals_2d, D):
     return jnp.take_along_axis(ext, idx, axis=1).T  # (D, L)
 
 
+def _shear_np(vals_2d: np.ndarray, D: int) -> np.ndarray:
+    """Numpy twin of _shear for host-side batch prep (keeps per-job prep
+    off the device so stacking a generation's jobs is one transfer)."""
+    L, R = vals_2d.shape
+    ext = np.concatenate(
+        [vals_2d, np.zeros((L, 1), vals_2d.dtype)], axis=1)
+    d_idx = np.arange(D)[None, :] - np.arange(L)[:, None]
+    idx = np.clip(d_idx, 0, R)
+    # the .T view is fine: downstream np.stack copies exactly once
+    return np.take_along_axis(ext, idx, axis=1).T
+
+
 def _shear_vec(vec, D, L):
     """(R,) -> (D, L): out[d, i] = vec[d-i] (clamped; callers mask)."""
     ext = jnp.concatenate([vec, jnp.zeros((1,), vec.dtype)])
@@ -234,16 +246,23 @@ def prepare_sheared(left: SequenceGraph, right: SequenceGraph,
             if settings.reduced_terminal_gap_penalties:
                 open_r[settings.y_read1_length] = 0.0
 
-    def edge_logw(g, i):
-        w = float(g.edges.weight[g.bwd[i][0]])
-        return float(np.float32(np.log(w))) if w > 0 else NEG
+    def edge_logw_vec(g, n):
+        """lw[i] = f32-rounded log weight of site i's bwd edge,
+        vectorized (the per-site Python loop dominated host prep on
+        100-leaf families)."""
+        out = np.zeros(n, dtype)
+        if n <= 1:
+            return out
+        ids = np.fromiter((g.bwd[i][0] for i in range(1, n)),
+                          np.int64, n - 1)
+        w = np.asarray(g.edges.weight, np.float64)[ids]
+        with np.errstate(divide="ignore"):
+            out[1:] = np.where(w > 0,
+                               np.log(w).astype(np.float32), NEG)
+        return out
 
-    lw = np.zeros(L, dtype)
-    for i in range(1, L):
-        lw[i] = edge_logw(left, i)
-    rw = np.zeros(R, dtype)
-    for j in range(1, R):
-        rw[j] = edge_logw(right, j)
+    lw = edge_logw_vec(left, L)
+    rw = edge_logw_vec(right, R)
 
     # open_pen_r sheared at index j-1: orp_sh[d, i] = open_r[d-i-1]
     open_r_shifted = np.concatenate([[0.0], open_r[:-1]]).astype(dtype)
@@ -266,38 +285,46 @@ def _rext(vec_np, R, Rp, Lp, dtype):
         [np.zeros(Lp - 1, dtype), v[::-1], np.zeros(Lp, dtype)]))
 
 
+def _rext_np(vec_np, R, Rp, Lp, dtype):
+    v = np.zeros(Rp, dtype)
+    v[:R] = vec_np
+    return np.concatenate(
+        [np.zeros(Lp - 1, dtype), v[::-1], np.zeros(Lp, dtype)])
+
+
 def shear_device_inputs(inp, Lp=None, Rp=None, upper=None, lower=None):
-    """Build sheared device arrays (optionally padded to Lp/Rp buckets).
-    upper/lower: optional per-row [min j, max j] band bounds (length L)."""
+    """Build sheared kernel inputs (optionally padded to Lp/Rp buckets)
+    as NUMPY arrays — prep stays on host so a generation's jobs can be
+    batch-stacked and shipped to the device in one transfer per
+    argument. upper/lower: optional per-row [min j, max j] band bounds
+    (length L)."""
     L, R = inp["L"], inp["R"]
     Lp = Lp or L
     Rp = Rp or R
     D = Lp + Rp - 1
     dtype = inp["ms"].dtype
 
-    ms = jnp.zeros((Lp, Rp), dtype).at[:L, :R].set(inp["ms"])
-    ms_sh = _shear(ms, D)
-    gj_rext = _rext(inp["gext_j"], R, Rp, Lp, dtype)
-    orp_rext = _rext(inp["open_r_shifted"], R, Rp, Lp, dtype)
-    rw_rext = _rext(inp["rw"], R, Rp, Lp, dtype)
-    gext_i = jnp.zeros((Lp,), dtype).at[:L].set(inp["gext_i"])
-    open_l = jnp.zeros((Lp,), dtype).at[:L].set(inp["open_l"])
-    lw = jnp.zeros((Lp,), dtype).at[:L].set(inp["lw"])
-    if upper is None:
-        band_lo = jnp.zeros((Lp,), jnp.int32)
-    else:
-        bl = np.zeros(Lp, np.int32)
-        bl[:L] = np.asarray(upper[:L], np.int32)
-        band_lo = jnp.asarray(bl)
-    if lower is None:
-        band_hi = jnp.full((Lp,), Rp - 1, jnp.int32)
-    else:
-        bh = np.full(Lp, Rp - 1, np.int32)
-        bh[:L] = np.asarray(lower[:L], np.int32)
-        band_hi = jnp.asarray(bh)
+    ms = np.zeros((Lp, Rp), dtype)
+    ms[:L, :R] = inp["ms"]
+    ms_sh = _shear_np(ms, D)
+    gj_rext = _rext_np(inp["gext_j"], R, Rp, Lp, dtype)
+    orp_rext = _rext_np(inp["open_r_shifted"], R, Rp, Lp, dtype)
+    rw_rext = _rext_np(inp["rw"], R, Rp, Lp, dtype)
+    gext_i = np.zeros(Lp, dtype)
+    gext_i[:L] = inp["gext_i"]
+    open_l = np.zeros(Lp, dtype)
+    open_l[:L] = inp["open_l"]
+    lw = np.zeros(Lp, dtype)
+    lw[:L] = inp["lw"]
+    band_lo = np.zeros(Lp, np.int32)
+    if upper is not None:
+        band_lo[:L] = np.asarray(upper[:L], np.int32)
+    band_hi = np.full(Lp, Rp - 1, np.int32)
+    if lower is not None:
+        band_hi[:L] = np.asarray(lower[:L], np.int32)
     return (ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw,
             dtype.type(inp["lng"]), dtype.type(inp["lgo"]),
-            jnp.int32(L), jnp.int32(R), band_lo, band_hi)
+            np.int32(L), np.int32(R), band_lo, band_hi)
 
 
 # ----------------------------------------------------------------------

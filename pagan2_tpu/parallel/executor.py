@@ -134,14 +134,18 @@ def _stack_sheared(jobs: list[PairJob], Lp: int, Rp: int, pad_to: int,
         inputs.append(inp)
     while len(per_job) < pad_to:
         per_job.append(per_job[0])
+    # per-job prep is numpy; one np.stack + one host->device transfer
+    # per argument (the previous jnp.stack of per-job device arrays
+    # dominated end-to-end time on many-small-job generations)
     n_vec = 7   # ms_sh, gj_rext, orp_rext, rw_rext, gext_i, open_l, lw
-    args = [jnp.stack([p[i] for p in per_job]) for i in range(n_vec)]
-    args.append(jnp.asarray([p[7] for p in per_job]))   # lng
-    args.append(jnp.asarray([p[8] for p in per_job]))   # lgo
-    args.append(jnp.asarray([p[9] for p in per_job]))   # Ldp
-    args.append(jnp.asarray([p[10] for p in per_job]))  # Rdp
-    args.append(jnp.stack([p[11] for p in per_job]))    # band_lo
-    args.append(jnp.stack([p[12] for p in per_job]))    # band_hi
+    args = [jnp.asarray(np.stack([p[i] for p in per_job]))
+            for i in range(n_vec)]
+    args.append(jnp.asarray(np.asarray([p[7] for p in per_job])))   # lng
+    args.append(jnp.asarray(np.asarray([p[8] for p in per_job])))   # lgo
+    args.append(jnp.asarray(np.asarray([p[9] for p in per_job])))   # Ldp
+    args.append(jnp.asarray(np.asarray([p[10] for p in per_job])))  # Rdp
+    args.append(jnp.asarray(np.stack([p[11] for p in per_job])))    # lo
+    args.append(jnp.asarray(np.stack([p[12] for p in per_job])))    # hi
     return args, inputs
 
 
@@ -284,8 +288,9 @@ def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
         inp["L"] * inp["R"] for inp in inputs)
     log_out("batched launch: %d jobs (bucket %dx%d, %d shard%s)"
             % (B, Lp, Rp, n_shards, "s" if n_shards > 1 else ""), 3)
-    bp = np.asarray(bp)
-    final = np.asarray(final)
+    from ..utils import fetch_np
+    bp = fetch_np(bp)
+    final = fetch_np(final)
     for b, i in enumerate(idxs):
         results[i] = _finish_sheared(jobs[i], inputs[b], bp[b], final[b],
                                      engine)
@@ -342,8 +347,9 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     log_out("batched fan-in launch: %d jobs (bucket %dx%d K%d/%d G%d, "
             "%d shard%s)" % (B, Lp, Rp, KL, KR, G, n_shards,
                              "s" if n_shards > 1 else ""), 3)
-    bp = np.asarray(bp)
-    sM, sX, sY = np.asarray(sM), np.asarray(sX), np.asarray(sY)
+    from ..utils import fetch_np
+    bp = fetch_np(bp)
+    sM, sX, sY = fetch_np(sM), fetch_np(sX), fetch_np(sY)
     D = Lp + Rp - 1
     ilo = np.zeros(D, np.int32)
     for b, i in enumerate(idxs):

@@ -1,1 +1,2 @@
 from .log import log_out, set_noise, get_noise
+from .fetch import fetch_np
