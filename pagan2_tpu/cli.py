@@ -251,7 +251,10 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--version", "-v", action="store_true",
                    help="show program version")
     x.add_argument("--time", action="store_true", dest="track_time",
-                   help="track time per pipeline phase")
+                   help="track time per pipeline phase (+ DP GCUPS)")
+    x.add_argument("--jax-profile", default=None, metavar="DIR",
+                   help="write a jax/xplane profiler trace of the run "
+                        "to DIR (view with tensorboard or xprof)")
     x.add_argument("--log-output-file", default=None,
                    help="log to file instead of stderr")
     x.add_argument("--temp-folder", default=None,
@@ -659,6 +662,11 @@ def main(argv=None) -> int:
             _phases.append((phase, _time.perf_counter()))
 
     def _report_time():
+        if args.jax_profile:
+            import jax
+            jax.profiler.stop_trace()
+            print("jax profiler trace -> %s" % args.jax_profile,
+                  file=sys.stderr)
         if not args.track_time:
             return
         prev = _t0
@@ -669,6 +677,16 @@ def main(argv=None) -> int:
         print("TIME %-24s %8.3f s" % ("total",
                                       _time.perf_counter() - _t0),
               file=sys.stderr)
+        # real-run DP throughput from the executor's launch counters
+        from .parallel.executor import EXEC_STATS
+        cells = EXEC_STATS["batched_cells"]
+        fs = EXEC_STATS["fill_seconds"]
+        if cells and fs > 0:
+            print("TIME %-24s %8.3f GCUPS (%d cells, %d launches, "
+                  "%d jobs)" % ("dp-fill-rate", cells / fs / 1e9,
+                                cells, EXEC_STATS["launches"],
+                                EXEC_STATS["batched_jobs"]),
+                  file=sys.stderr)
 
     # honor JAX_PLATFORMS even though the sitecustomize axon registration
     # overrides the env-var route (jax.config wins over both)
@@ -690,6 +708,10 @@ def main(argv=None) -> int:
                           1.0)
     except Exception:
         pass
+
+    if args.jax_profile:
+        import jax
+        jax.profiler.start_trace(args.jax_profile)
 
     if args.mpost_posterior_plot_file:
         from .io.plots import open_posterior_sink

@@ -23,9 +23,12 @@ import numpy as np
 from ..align.settings import AlignSettings
 from ..utils import log_out
 
-# observability: kernel-launch / job counters (reset per run if desired)
+# observability: kernel-launch / job counters (reset per run if
+# desired). fill_seconds wraps launch+readback wall time so the CLI's
+# --time report can derive a real-run GCUPS figure (in-band cells/s,
+# the reference logs only phase clocks, main.cpp:50-63)
 EXEC_STATS = {"launches": 0, "batched_jobs": 0, "single_jobs": 0,
-              "batched_cells": 0}
+              "batched_cells": 0, "fill_seconds": 0.0}
 
 
 def reset_stats():
@@ -265,9 +268,11 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
 
 def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
                           engine, dtype):
+    import time
     import jax
     from ..align.viterbi_sheared import batched_sheared_fill
 
+    t_launch = time.perf_counter()
     B = len(idxs)
     # pad the batch to a power of two (and a multiple of the mesh) so
     # jitted fills are reused across generations of shrinking width
@@ -291,6 +296,7 @@ def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     from ..utils import fetch_np
     bp = fetch_np(bp)
     final = fetch_np(final)
+    EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
     for b, i in enumerate(idxs):
         results[i] = _finish_sheared(jobs[i], inputs[b], bp[b], final[b],
                                      engine)
@@ -299,8 +305,10 @@ def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
 def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
                         engine, dtype):
     """One batched ring-buffer fill for a bucket of fan-in graph jobs."""
+    import time
     import jax
     from ..align.ancestral import build_ancestral_graph
+    t_launch = time.perf_counter()
     from ..align.viterbi_fanin import (prepare_fanin, stack_fanin,
                                        get_fanin_fill, finish_fanin,
                                        _g_bucket)
@@ -350,6 +358,7 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     from ..utils import fetch_np
     bp = fetch_np(bp)
     sM, sX, sY = fetch_np(sM), fetch_np(sX), fetch_np(sY)
+    EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
     D = Lp + Rp - 1
     ilo = np.zeros(D, np.int32)
     for b, i in enumerate(idxs):

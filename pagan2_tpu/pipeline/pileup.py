@@ -158,11 +158,15 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
     accepted = {ref_root_name}
     model = model_factory.alignment_model(0.001 + config.query_distance)
 
+    from ..utils import log_progress, finish_progress
     for _round in range(config.query_cluster_attempts):
-        for read in read_list:
+        for ri, read in enumerate(read_list):
             if attempts[read.name] >= config.query_cluster_attempts:
                 continue
             attempts[read.name] += 1
+            # "aligning read X (k/n)" progress (reads_aligner.cpp:176)
+            log_progress("aligning read %s (%d/%d)"
+                         % (read.name, ri + 1, len(read_list)), 0)
 
             def try_strand(rc):
                 rnode = leaf(read, turn_rc=rc)
@@ -207,6 +211,7 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
             else:
                 # rejection costs an extra attempt (reads_aligner.cpp:251)
                 attempts[read.name] += 1
+    finish_progress()
 
     discarded = [r.name for r in read_list if r.name not in accepted]
     alignment = _extract(global_root)

@@ -92,6 +92,10 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
     # over the mesh's `jobs` axis (the reference's OpenMP wavefront,
     # node.cpp:227-269, re-expressed data-parallel)
     from ..parallel.executor import PairJob, execute_pair_jobs
+    from ..utils import log_progress, finish_progress
+    n_internal = sum(1 for _ in tree.nodes_postorder()) - \
+        sum(1 for _ in tree.leaves())
+    done = 0
     for gen in generations(tree):
         jobs = []
         for node in gen:
@@ -102,9 +106,15 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                                 left_branch_length=node.left.dist,
                                 right_branch_length=node.right.dist,
                                 key=node))
+        done += len(jobs)
+        # "aligning node X (k/n)" progress line (node.cpp:60)
+        log_progress("aligning %d node%s (%d/%d)"
+                     % (len(jobs), "s" if len(jobs) != 1 else "",
+                        done, n_internal), 0)
         for job, (anc, _end) in zip(
                 jobs, execute_pair_jobs(jobs, engine=engine, mesh=mesh)):
             job.key.graph = anc
+    finish_progress()
 
     alignment = extract_alignment(tree, include_internal_nodes,
                                   data_type=data_type)
