@@ -29,6 +29,7 @@ def plan_band(left, right, settings):
         define_tunnel_for_graphs(
             left, right,
             use_prefix_anchors=settings.use_prefix_anchors,
+            use_hmmer_anchors=settings.use_hmmer_anchors,
             prefix_hit_length=settings.prefix_hit_length,
             width=settings.anchors_offset,
             threshold_total=settings.anchor_threshold_total,

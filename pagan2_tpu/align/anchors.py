@@ -94,6 +94,29 @@ def find_prefix_anchors(s1: str, s2: str, min_length: int = 30
     return kept
 
 
+def find_hmmer_style_anchors(s1: str, s2: str, k: int = 16
+                             ) -> list[SubstringHit]:
+    """Native stand-in for find_hmmer_anchors (find_anchors.cpp:129-223).
+
+    The reference popen()s `hmmsearch --max pagan.hmm` (a hardcoded HMM
+    file in the working directory), keeps only the single best-E-value
+    domain per sequence and emits exactly TWO 5-length anchors at the
+    region's boundaries. Natively, the best (longest) k-mer chain hit
+    plays the role of that best domain: one 5-length anchor at its
+    start, one at its end — same two-pin tunnel shape, no subprocess."""
+    hits = find_kmer_anchors(s1, s2, k=k)
+    if not hits:
+        return []
+    best = max(hits, key=lambda h: h.length)
+    pin = min(5, best.length)
+    out = [SubstringHit(best.start_site_1, best.start_site_2, pin, pin)]
+    e1 = best.start_site_1 + best.length - pin
+    e2 = best.start_site_2 + best.length - pin
+    if e1 > best.start_site_1 and e2 > best.start_site_2:
+        out.append(SubstringHit(e1, e2, pin, pin))
+    return out
+
+
 def find_kmer_anchors(s1: str, s2: str, k: int = 16,
                       min_run: int = 1) -> list[SubstringHit]:
     """Native BLAST-stand-in: match k-mers that occur exactly once in
@@ -389,16 +412,19 @@ def graph_strings(g, with_gaps: bool):
 
 
 def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
+                             use_hmmer_anchors=False,
                              prefix_hit_length: int = 30,
                              kmer: int = 16, width: int = 15,
                              threshold_total: int = 50,
                              threshold_partly: int = 400):
     """Full anchoring pipeline for two sequence graphs: hit discovery on
     ungapped strings, bound construction on gapped coordinates
-    (viterbi_alignment.cpp:44-185)."""
+    (viterbi_alignment.cpp:44-185; anchor-mode dispatch :64-83)."""
     u1 = graph_strings(left, False)
     u2 = graph_strings(right, False)
-    if use_prefix_anchors:
+    if use_hmmer_anchors:
+        hits = find_hmmer_style_anchors(u1, u2, k=kmer)
+    elif use_prefix_anchors:
         hits = find_prefix_anchors(u1, u2, prefix_hit_length)
     else:
         hits = find_kmer_anchors(u1, u2, k=kmer)

@@ -36,6 +36,10 @@ class AlignSettings:
     # matrices are cheaper than anchor discovery.
     use_anchors: bool = True
     use_prefix_anchors: bool = False
+    # --hmmer-anchors (find_anchors.cpp:129-223): two 5-length pins at
+    # the best local-similarity region's boundaries (native k-mer
+    # stand-in for the reference's hmmsearch subprocess)
+    use_hmmer_anchors: bool = False
     anchor_min_sites: int = 3000
     prefix_hit_length: int = 30
     anchors_offset: int = 15

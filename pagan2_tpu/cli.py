@@ -269,8 +269,9 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--prefix-hit-length", type=int, default=30)
     x.add_argument("--anchors-offset", type=int, default=15)
     x.add_argument("--hmmer-anchors", action="store_true",
-                   help="accepted for compatibility (native k-mer "
-                        "anchoring replaces the hmmer subprocess)")
+                   help="two-pin anchoring at the best local-similarity "
+                        "region's ends (native stand-in for the "
+                        "reference's hmmsearch subprocess)")
     x.add_argument("--ncbi-threshold-overlap-total", type=int, default=50,
                    help="distance for fully overlapping hits to be "
                         "accepted as anchors")
@@ -412,6 +413,7 @@ def make_settings(args):
         reduced_terminal_gap_penalties=not args.no_reduced_terminal_penalties,
         use_anchors=not args.no_anchors,
         use_prefix_anchors=args.use_prefix_anchors,
+        use_hmmer_anchors=args.hmmer_anchors,
         prefix_hit_length=args.prefix_hit_length,
         anchors_offset=args.anchors_offset,
         anchor_threshold_total=args.ncbi_threshold_overlap_total,
@@ -647,6 +649,15 @@ def main(argv=None) -> int:
     if args.version:
         from . import __version__
         print("pagan2-tpu v%s (TPU-native PAGAN2)" % __version__)
+        # the reference's --version also checks upstream for updates
+        # (check_version.cpp:35-90); degrades gracefully offline
+        from .utils.check_version import check_version
+        try:
+            base = float(__version__.split(".")[0] + "." +
+                         __version__.split(".")[1])
+        except (IndexError, ValueError):
+            base = 0.0
+        check_version(base)
         return 0
     from .io.fasta import read_sequences
     from .utils import set_noise

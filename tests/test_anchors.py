@@ -193,3 +193,59 @@ class TestBandedDP:
         from tests.test_pairwise import pairwise_strings
         assert pairwise_strings(anc_a, g1a, g2a) == \
             pairwise_strings(anc_b, g1b, g2b)
+
+
+def test_hmmer_style_anchors_two_pins():
+    """find_hmmer_anchors equivalent (find_anchors.cpp:129-223): the
+    best local-similarity region yields exactly two 5-length pins at
+    its boundaries, and the tunnel built from them reaches the corner."""
+    import numpy as np
+    from pagan2_tpu.align.anchors import (find_hmmer_style_anchors,
+                                          define_tunnel_for_graphs)
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph
+
+    rng = np.random.default_rng(3)
+    s = "".join(rng.choice(list("ACGT"), 400))
+    s2 = s[:390]
+    hits = find_hmmer_style_anchors(s, s2)
+    assert len(hits) == 2
+    assert all(h.length == 5 for h in hits)
+    assert hits[0].start_site_1 < hits[1].start_site_1
+
+    g1 = build_leaf_graph(s, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    upper, lower, blocks, cov = define_tunnel_for_graphs(
+        g1, g2, use_hmmer_anchors=True)
+    # two corner pins barely constrain the interior (the reference's
+    # hmmer anchoring is equally loose), but the bounds must be sane
+    assert 0 < cov <= 1
+    assert lower[-1] >= len(s2) - 1
+
+
+def test_hmmer_anchor_alignment_matches_full():
+    """A near-identical pair aligned through the hmmer-style two-pin
+    tunnel must match the full-matrix alignment."""
+    import numpy as np
+    from dataclasses import replace
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import ModelFactory, alphabets as alph
+    from pagan2_tpu.align import align_pair, AlignSettings
+
+    rng = np.random.default_rng(4)
+    s = "".join(rng.choice(list("ACGT"), 600))
+    s2 = "".join(c if rng.random() > 0.03 else str(rng.choice(list("ACGT")))
+                 for c in s)
+    model = ModelFactory(alph.DNA).alignment_model(0.2)
+
+    def run(**kw):
+        g1 = build_leaf_graph(s, alph.DNA)
+        g2 = build_leaf_graph(s2, alph.DNA)
+        st = replace(AlignSettings(), anchor_min_sites=100, **kw)
+        anc, end = align_pair(g1, g2, model, st)
+        return [anc.states[i] for i in range(anc.num_sites())], end.score
+
+    sts_h, sc_h = run(use_hmmer_anchors=True)
+    sts_f, sc_f = run(use_anchors=False)
+    assert sts_h == sts_f
+    assert sc_h == pytest.approx(sc_f, rel=1e-9)
