@@ -1,14 +1,20 @@
 """Benchmark: DP cell-update rate (GCUPS) of the pairwise graph-alignment
-wavefront fill on the available accelerator.
+wavefront fills on the available accelerator.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is measured against the 50 GCUPS/chip target from BASELINE.md
-(the reference publishes no numbers; it is a single-threaded CPU code).
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N, "secondary": {...}}. The primary value is the
+hand-tuned Pallas linear-chain kernel (the headline fill); "secondary"
+reports the fan-in ring-buffer kernel (454/homopolymer graphs — the
+canonical pileup workload) and the windowed banded kernel (anchored
+long pairs, in-band cells/s) so the numbers reflect real workloads, not
+just the best case. vs_baseline is against the 50 GCUPS/chip target
+from BASELINE.md (the reference publishes no numbers; it is a
+single-threaded CPU code).
 
-Timing is honest for remote-tunneled devices: K chained dispatches with a
-single scalar fetch at the end; the per-iteration time is the slope
-between K1 and K2 iterations (median of 3), which cancels both the fetch
-round-trip and any non-blocking-sync artifacts.
+Timing is honest for remote-tunneled devices: K chained dispatches with
+a single scalar fetch at the end; the per-iteration time is the slope
+between K1 and K2 iterations, minimum over several trials (dispatch
+jitter only ever inflates times).
 """
 import json
 import sys
@@ -17,42 +23,52 @@ import time
 import numpy as np
 
 
-def main():
+def slope_time(fill, fetch, on_tpu, k1=None, k2=None):
+    out = fill()
+    fetch(out)                      # warmup/compile
+    K1, K2 = (k1 or (4 if on_tpu else 1)), (k2 or (16 if on_tpu else 3))
+    trials = 6 if on_tpu else 2
+
+    def run(K):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(K):
+            o = fill()
+        fetch(o)                    # one synchronous fetch drains the queue
+        return time.perf_counter() - t0
+
+    ests = []
+    for _ in range(trials):
+        tA, tB = run(K1), run(K2)
+        ests.append((tB - tA) / (K2 - K1))
+    return min(ests)
+
+
+def _mut(rng, base, p=0.1):
+    mut = base.copy()
+    idx = rng.random(len(base)) < p
+    mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    return "".join(mut)
+
+
+def bench_pallas(rng, model, settings, on_tpu):
     import jax
     import jax.numpy as jnp
     from pagan2_tpu.graph import build_leaf_graph
-    from pagan2_tpu.models import ModelFactory, alphabets as alph
-    from pagan2_tpu.align import AlignSettings
+    from pagan2_tpu.models import alphabets as alph
     from pagan2_tpu.align.viterbi_sheared import prepare_sheared
     from pagan2_tpu.align.viterbi_pallas import (pallas_job_arrays,
                                                  pallas_batch_args,
                                                  pallas_fill,
                                                  _add_scalar_params)
-
-    dev = jax.devices()[0]
-    on_tpu = dev.platform != "cpu"
-    if on_tpu:
-        B, N, TD = 16, 2047, 16
-    else:
-        B, N, TD = 2, 255, 16
-
-    rng = np.random.default_rng(0)
-    mf = ModelFactory(alph.DNA)
-    model = mf.alignment_model(0.2)
-    settings = AlignSettings()
-
+    B, N, TD = (16, 2047, 16) if on_tpu else (2, 255, 16)
     Lp = Rp = N + 1
     jobs = []
     cells = 0
-    for b in range(B):
+    for _ in range(B):
         base = rng.choice(list("ACGT"), size=N)
-        s1 = "".join(base)
-        mut = base.copy()
-        idx = rng.random(N) < 0.1
-        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
-        s2 = "".join(mut)
-        g1 = build_leaf_graph(s1, alph.DNA)
-        g2 = build_leaf_graph(s2, alph.DNA)
+        g1 = build_leaf_graph("".join(base), alph.DNA)
+        g2 = build_leaf_graph(_mut(rng, base), alph.DNA)
         inp = prepare_sheared(g1, g2, model, settings, dtype=np.float32)
         _add_scalar_params(inp)
         jobs.append(pallas_job_arrays(inp, Lp, Rp))
@@ -60,38 +76,121 @@ def main():
     args = pallas_batch_args(jobs, Lp, Rp, TD)
     args = jax.tree.map(jnp.asarray, args)
 
-    def fill():
-        return pallas_fill(*args, TD=TD)
+    dt = slope_time(lambda: pallas_fill(*args, TD=TD),
+                    lambda o: float(o[1][0, 0]), on_tpu)
+    return cells / dt / 1e9, f"{B}x{N}bp"
 
-    # warmup/compile
-    out = fill()
-    _ = float(out[1][0, 0])
 
-    def run(K):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            out = fill()
-        _ = float(out[1][0, 0])   # one synchronous fetch drains the queue
-        return time.perf_counter() - t0
+def bench_fanin(rng, model, settings, on_tpu):
+    """454-mode read graphs (homopolymer skip edges -> fan-in) through
+    the batched ring-buffer kernel — the canonical pileup workload."""
+    import jax.numpy as jnp
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.align.viterbi_fanin import (prepare_fanin, stack_fanin,
+                                                get_fanin_fill, _g_bucket,
+                                                _bucket)
+    B, N = (16, 2047) if on_tpu else (2, 255)
+    inputs = []
+    cells = 0
+    for _ in range(B):
+        base = rng.choice(list("ACGT"), size=N)
+        # homopolymer runs so 454 mode actually adds skip edges
+        base[N // 3:N // 3 + 6] = "A"
+        base[2 * N // 3:2 * N // 3 + 5] = "T"
+        g1 = build_leaf_graph("".join(base), alph.DNA, mode454=True)
+        g2 = build_leaf_graph(_mut(rng, base), alph.DNA, mode454=True)
+        inp = prepare_fanin(g1, g2, model, settings, dtype=np.float32)
+        inputs.append(inp)
+        cells += inp["L"] * inp["R"]
+    KL = max(i["KL"] for i in inputs)
+    KR = max(i["KR"] for i in inputs)
+    G = _g_bucket(max(i["OL"] + i["OR"] for i in inputs))
+    Lp = _bucket(max(i["L"] for i in inputs))
+    Rp = _bucket(max(i["R"] for i in inputs))
+    args = stack_fanin(inputs, Lp, Rp, KL, KR, G, dtype=np.float32)
+    args = [jnp.asarray(a) for a in args]
+    fill = get_fanin_fill(KL, KR, G, Lp,
+                          OLm=max(i["OL"] for i in inputs),
+                          ORm=max(i["OR"] for i in inputs))
 
-    # min over several slope trials: the tunneled device adds dispatch
-    # jitter that only inflates times, so the minimum is the honest
-    # estimate of kernel throughput
-    K1, K2 = (4, 16) if on_tpu else (1, 3)
-    trials = 6 if on_tpu else 2
-    ests = []
-    for _ in range(trials):
-        tA, tB = run(K1), run(K2)
-        ests.append((tB - tA) / (K2 - K1))
-    dt = min(ests)
+    dt = slope_time(lambda: fill(*args),
+                    lambda o: float(np.asarray(o[1])[0].ravel()[0]),
+                    on_tpu)
+    return cells / dt / 1e9, f"{B}x{N}bp 454 K{KL}/{KR}"
 
-    gcups = cells / dt / 1e9
+
+def bench_banded(rng, model, settings, on_tpu):
+    """Anchored long pair through the windowed banded kernel; GCUPS
+    counts IN-BAND cells only (the work actually done)."""
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.align.anchors import define_tunnel_for_graphs
+    from pagan2_tpu.align.viterbi_banded import banded_fill_args
+    N = 32767 if on_tpu else 2047
+    base = rng.choice(list("ACGT"), size=N)
+    g1 = build_leaf_graph("".join(base), alph.DNA)
+    g2 = build_leaf_graph(_mut(rng, base, 0.03), alph.DNA)
+    upper, lower, _blocks, cov = define_tunnel_for_graphs(g1, g2)
+    in_band = int(np.sum(np.asarray(lower[:N], np.int64)
+                         - np.asarray(upper[:N], np.int64) + 1))
+    core, args, _ilo, _inp = banded_fill_args(
+        g1, g2, model, settings, upper, lower, dtype=np.float32)
+
+    dt = slope_time(lambda: core(*args),
+                    lambda o: float(np.asarray(o[1])[0]), on_tpu,
+                    k1=2 if on_tpu else 1, k2=6 if on_tpu else 3)
+    return in_band / dt / 1e9, f"{N}bp pair, {cov * 100:.0f}%% band"
+
+
+def main():
+    import os
+    import jax
+    from pagan2_tpu.models import ModelFactory, alphabets as alph
+    from pagan2_tpu.align import AlignSettings
+
+    # persistent XLA compile cache (same location as the CLI): the
+    # banded 64k-step scan costs ~450 s to compile cold on TPU, ~1 s
+    # warm
+    try:
+        cache = os.environ.get(
+            "PAGAN2_JAX_CACHE",
+            os.path.expanduser("~/.cache/pagan2_tpu_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    rng = np.random.default_rng(0)
+    model = ModelFactory(alph.DNA).alignment_model(0.2)
+    settings = AlignSettings()
+
+    gcups, desc = bench_pallas(rng, model, settings, on_tpu)
+    secondary = {}
+    cases = [("banded_anchored", bench_banded)]
+    # the fan-in kernel's gather lowering currently blows up TPU
+    # compile times at bench shapes (minutes at N=255); CPU runs it
+    # always, TPU only on request until the one-hot redesign lands
+    if not on_tpu or os.environ.get("PAGAN2_BENCH_FANIN"):
+        cases.insert(0, ("fanin_454", bench_fanin))
+    for name, fn in cases:
+        try:
+            g, d = fn(rng, model, settings, on_tpu)
+            secondary[name] = {"gcups": round(g, 3), "case": d}
+        except Exception as e:    # secondary benches must not kill the run
+            secondary[name] = {"error": f"{e.__class__.__name__}: {e}"}
+
     print(json.dumps({
         "metric": "DP fill rate, pairwise phylo-aware graph alignment "
-                  f"({B}x{N}bp pairs, pallas wavefront, {dev.device_kind})",
+                  f"({desc} pairs, pallas wavefront, {dev.device_kind})",
         "value": round(gcups, 4),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 50.0, 4),
+        "secondary": secondary,
     }))
 
 

@@ -252,17 +252,12 @@ def _pad_int(v, n, fill):
     return out
 
 
-def banded_align_path(left: SequenceGraph, right: SequenceGraph,
-                      model: EvolModel, settings: AlignSettings,
-                      upper, lower,
-                      left_branch_length: float = 0.0,
-                      right_branch_length: float = 0.0,
-                      dtype=np.float64):
-    """Banded fill with windowed memory + host backtrack. Falls back to
-    the full masked kernel if the band cannot reach the end corner
-    (viterbi_alignment.cpp:298-317)."""
-    from .viterbi_jax import _backtrack_arrays
-
+def banded_fill_args(left: SequenceGraph, right: SequenceGraph,
+                     model: EvolModel, settings: AlignSettings,
+                     upper, lower, dtype=np.float64):
+    """Host prep for the windowed banded fill: returns (core, args,
+    ilo) so callers (align path, bench) can invoke the jitted core
+    directly."""
     inp = prepare_sheared(left, right, model, settings, dtype,
                           with_ms=False)
     L, R = inp["L"], inp["R"]
@@ -311,13 +306,30 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
     ilo_b[:len(ilo)] = ilo
 
     core = _get_banded_fill(W)
-    bp, final = core(
-        jnp.asarray(TL), rs_rext, gj_rext, orp_rext, rw_rext,
-        ext_row(inp["gext_i"]), ext_row(open_l_prev), ext_row(inp["lw"]),
-        jnp.asarray(_pad_int(upper[:L], Lpad, 0)),
-        jnp.asarray(_pad_int(lower[:L], Lpad, R - 1)),
-        jnp.asarray(ilo_b), dtype(inp["lng"]), dtype(inp["lgo"]),
-        jnp.int32(L), jnp.int32(R), jnp.int32(off))
+    args = (jnp.asarray(TL), rs_rext, gj_rext, orp_rext, rw_rext,
+            ext_row(inp["gext_i"]), ext_row(open_l_prev),
+            ext_row(inp["lw"]),
+            jnp.asarray(_pad_int(upper[:L], Lpad, 0)),
+            jnp.asarray(_pad_int(lower[:L], Lpad, R - 1)),
+            jnp.asarray(ilo_b), dtype(inp["lng"]), dtype(inp["lgo"]),
+            jnp.int32(L), jnp.int32(R), jnp.int32(off))
+    return core, args, ilo, inp
+
+
+def banded_align_path(left: SequenceGraph, right: SequenceGraph,
+                      model: EvolModel, settings: AlignSettings,
+                      upper, lower,
+                      left_branch_length: float = 0.0,
+                      right_branch_length: float = 0.0,
+                      dtype=np.float64):
+    """Banded fill with windowed memory + host backtrack. Falls back to
+    the full masked kernel if the band cannot reach the end corner
+    (viterbi_alignment.cpp:298-317)."""
+    from .viterbi_jax import _backtrack_arrays
+
+    core, args, ilo, inp = banded_fill_args(left, right, model, settings,
+                                            upper, lower, dtype)
+    bp, final = core(*args)
 
     final = np.asarray(final)
     if not np.isfinite(final).any():
@@ -326,6 +338,7 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
                                   left_branch_length, right_branch_length,
                                   dtype=dtype)
 
+    L, R = inp["L"], inp["R"]
     cells = _BandedCells(bp, ilo, left, right)
     end = _end_corner_linear(final, left, right, model, L, R)
     end.bwd_score = 1.0

@@ -74,6 +74,234 @@ def _g_bucket(n: int) -> int:
 
 
 # ----------------------------------------------------------------------
+def _build_core_onehot(KL: int, KR: int, OLm: int, ORm: int, G: int,
+                       W: int):
+    """Fill core with one-hot offset selection instead of gathers.
+
+    XLA's TPU gather lowering makes the gather core's compile time
+    explode (minutes at production shapes, and the worker can die
+    outright); edge offsets are small integers (<= OLm/ORm), so each
+    per-candidate gather is replaced by a mask-select over ring planes
+    aligned with ONE dynamic slice per (matrix, depth) and then
+    STATICALLY lane-shifted — compare + select VPU ops only, which both
+    compiles fast and vectorizes cleanly. Candidate evaluation order is
+    unchanged (strict first-wins parity with the oracle)."""
+
+    def core(TL, loff, llw, lopen, gexti_ext, upper_ext, lower_ext,
+             rs_rext, gjx_rext, roff_rext, rlw_rext, ropen_rext,
+             ilo_ext, lng, lgo, Ldp, Rdp):
+        B = TL.shape[0]
+        nf = TL.shape[2]
+        f = TL.dtype
+        neg = jnp.array(NEG, f)
+        Ext = gjx_rext.shape[1]
+        RextOff = Ext - W - 1
+        Gm = min(G, OLm + ORm)      # deepest ring plane actually read
+
+        tt = jnp.arange(W)[None, :]                  # (1, W)
+        lngb = lng[:, None]
+        lgob = lgo[:, None]
+        Ldpb = Ldp[:, None]
+        Rdpb = Rdp[:, None]
+        cornerd = Ldpb + Rdpb - 2
+
+        ring0 = jnp.full((B, G, W), neg, f)
+        negpad = jnp.full((B, W), neg, f)
+
+        def win_rows(vec_ext, ilo):
+            return lax.dynamic_slice_in_dim(vec_ext, ilo, W, axis=1)
+
+        def win_rows3(arr_ext, ilo):                 # (B, Lpad, K)
+            return lax.dynamic_slice_in_dim(arr_ext, ilo, W, axis=1)
+
+        def rev_cols(vec_rext, start):
+            return lax.dynamic_slice_in_dim(vec_rext, start, W, axis=1)
+
+        def rev_cols3(arr_rext, start):              # (B, K, Ext)
+            return lax.dynamic_slice_in_dim(arr_rext, start, W, axis=2)
+
+        # aligned ring views span local lanes [-PAD, W) so a static
+        # shift by s <= PAD can reach sources at t - s + delta < 0 in
+        # the current frame (valid reads into the previous window's
+        # frame, which the gather core permits)
+        PAD = max(OLm, 1)
+
+        def sh(v, s):
+            """Static lane shift of an aligned (PAD + W)-wide view:
+            out[t] = plane[t - s + delta]."""
+            return v[:, PAD - s: PAD - s + W]
+
+        def step(carry, d):
+            rM, rX, rY, sM, sX, sY = carry
+
+            iwin = lax.dynamic_slice(ilo_ext, (d,), (G + 1,))
+            ilo = iwin[G]
+
+            iig = ilo + tt                           # (1, W) global row
+            jj = d - iig
+            start = RextOff - (d - ilo)
+
+            up = win_rows(upper_ext, ilo)
+            lo = win_rows(lower_ext, ilo)
+            valid = (jj >= 0) & (jj < Rdpb) & (iig < Ldpb) & \
+                (jj >= up) & (jj <= lo)
+
+            gexti = win_rows(gexti_ext, ilo)
+            gjx = rev_cols(gjx_rext, start)
+            rs = rev_cols(rs_rext, start)
+            roff = rev_cols3(roff_rext, start)       # (B, KR, W)
+            rlw = rev_cols3(rlw_rext, start)
+            ropen = rev_cols3(ropen_rext, start)
+            loffw = win_rows3(loff, ilo)             # (B, W, KL)
+            llww = win_rows3(llw, ilo)
+            lopenw = win_rows3(lopen, ilo)
+
+            TLw = win_rows3(TL, ilo)                 # (B, W, nf)
+            ms = jnp.take_along_axis(
+                TLw, jnp.clip(rs, 0, nf - 1)[:, :, None], axis=2)[:, :, 0]
+
+            # ring planes aligned to this diagonal's window (one
+            # dynamic slice per matrix and depth; window starts are
+            # monotone so delta >= 0, and out-of-window reads are NEG).
+            # The slice is (PAD + W) wide: view[u] = plane[u - PAD +
+            # delta], so sh(view, s)[t] = plane[t - s + delta] exactly
+            # as the gather core indexes.
+            lpad = jnp.full((B, PAD), neg, f)
+            rpad = jnp.full((B, W + PAD), neg, f)
+
+            def align(plane, g):
+                delta = ilo - iwin[G - g]
+                ext = jnp.concatenate([lpad, plane, rpad], axis=1)
+                sl = lax.dynamic_slice_in_dim(ext, delta, PAD + W, axis=1)
+                # delta beyond W+PAD clamps the slice start; no source
+                # can be valid there, so blank the view
+                return jnp.where(delta > W + PAD, neg, sl)
+
+            AM = [None] + [align(rM[:, g - 1], g) for g in range(1, Gm + 1)]
+            AX = [None] + [align(rX[:, g - 1], g) for g in range(1, Gm + 1)]
+            AY = [None] + [align(rY[:, g - 1], g) for g in range(1, Gm + 1)]
+
+            def upd(best, code, cand, c):
+                take = cand > best
+                return (jnp.where(take, cand, best),
+                        jnp.where(take, c, code))
+
+            # ---- X: gap consuming left site i (per edge: ext, double,
+            # open; viterbi_alignment.cpp:1328-1349). Source lane shift
+            # equals the offset, so the one-hot term g uses sh(A_g, g).
+            bestX = jnp.full((B, W), neg, f)
+            codeX = jnp.full((B, W), _BX_NONE, jnp.int32)
+            shx = [None] + [sh(AX[g], g) for g in range(1, min(OLm, Gm) + 1)]
+            shy = [None] + [sh(AY[g], g) for g in range(1, min(OLm, Gm) + 1)]
+            shm = [None] + [sh(AM[g], g) for g in range(1, min(OLm, Gm) + 1)]
+            for k in range(KL):
+                o = loffw[:, :, k]
+                gx = gy = gm = negpad
+                for g in range(1, min(OLm, Gm) + 1):
+                    m = o == g
+                    gx = jnp.where(m, shx[g], gx)
+                    gy = jnp.where(m, shy[g], gy)
+                    gm = jnp.where(m, shm[g], gm)
+                bestX, codeX = upd(bestX, codeX, gx + gjx, k * 3)
+                bestX, codeX = upd(bestX, codeX, gy + lgob, k * 3 + 1)
+                bestX, codeX = upd(bestX, codeX,
+                                   gm + lngb + lopenw[:, :, k], k * 3 + 2)
+
+            # ---- Y: gap consuming right site j (no lane shift) ----
+            bestY = jnp.full((B, W), neg, f)
+            codeY = jnp.full((B, W), _BY_NONE, jnp.int32)
+            ay0 = [None] + [sh(AY[g], 0) for g in range(1, min(ORm, Gm) + 1)]
+            ax0 = [None] + [sh(AX[g], 0) for g in range(1, min(ORm, Gm) + 1)]
+            am0 = [None] + [sh(AM[g], 0) for g in range(1, min(ORm, Gm) + 1)]
+            for k in range(KR):
+                o = roff[:, k, :]
+                gy = gx = gm = negpad
+                for g in range(1, min(ORm, Gm) + 1):
+                    m = o == g
+                    gy = jnp.where(m, ay0[g], gy)
+                    gx = jnp.where(m, ax0[g], gx)
+                    gm = jnp.where(m, am0[g], gm)
+                bestY, codeY = upd(bestY, codeY, gy + gexti, k * 3)
+                bestY, codeY = upd(bestY, codeY, gx + lgob, k * 3 + 1)
+                bestY, codeY = upd(bestY, codeY,
+                                   gm + lngb + ropen[:, k, :], k * 3 + 2)
+
+            # ---- M: match consuming both (left edge outer, right edge
+            # inner; per pair m, x, y; viterbi_alignment.cpp:1353-1436).
+            # Total offset s+r selects plane s+r shifted by the left
+            # offset s; the (s, r) masks factor per side.
+            bestM = jnp.full((B, W), neg, f)
+            codeM = jnp.full((B, W), _BM_NONE, jnp.int32)
+            mbase = lngb + ms
+            shM = {}
+            shX2 = {}
+            shY2 = {}
+            for s in range(1, OLm + 1):
+                for r in range(1, ORm + 1):
+                    if s + r <= Gm and (s, s + r) not in shM:
+                        shM[(s, s + r)] = sh(AM[s + r], s)
+                        shX2[(s, s + r)] = sh(AX[s + r], s)
+                        shY2[(s, s + r)] = sh(AY[s + r], s)
+            for kl in range(KL):
+                ol = loffw[:, :, kl]
+                lw = llww[:, :, kl]
+                lmask = [None] + [ol == s for s in range(1, OLm + 1)]
+                for kr in range(KR):
+                    orr = roff[:, kr, :]
+                    gm = gx = gy = negpad
+                    for s in range(1, OLm + 1):
+                        for r in range(1, ORm + 1):
+                            if s + r > Gm:
+                                continue
+                            mm = lmask[s] & (orr == r)
+                            gm = jnp.where(mm, shM[(s, s + r)], gm)
+                            gx = jnp.where(mm, shX2[(s, s + r)], gx)
+                            gy = jnp.where(mm, shY2[(s, s + r)], gy)
+                    base = mbase + lw + rlw[:, kr, :]
+                    c0 = (kl * KR + kr) * 3
+                    bestM, codeM = upd(bestM, codeM, gm + lngb + base, c0)
+                    bestM, codeM = upd(bestM, codeM, gx + base, c0 + 1)
+                    bestM, codeM = upd(bestM, codeM, gy + base, c0 + 2)
+
+            okx = valid & (iig > 0) & jnp.isfinite(bestX)
+            oky = valid & (jj > 0) & jnp.isfinite(bestY)
+            okm = valid & (iig > 0) & (jj > 0) & jnp.isfinite(bestM)
+            X = jnp.where(okx, bestX, neg)
+            Y = jnp.where(oky, bestY, neg)
+            M = jnp.where(okm, bestM, neg)
+
+            # seed cell (0, 0) on diagonal 0
+            seed = (iig == 0) & (jj == 0)
+            M = jnp.where(seed, jnp.zeros((), f), M)
+
+            bp = (jnp.where(okm, codeM, _BM_NONE) +
+                  (jnp.where(okx, codeX, _BX_NONE) << 6) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 11)
+                  ).astype(jnp.uint16)
+
+            # roll the ring: new diagonal becomes plane 0
+            rM = jnp.concatenate([M[:, None], rM[:, :-1]], axis=1)
+            rX = jnp.concatenate([X[:, None], rX[:, :-1]], axis=1)
+            rY = jnp.concatenate([Y[:, None], rY[:, :-1]], axis=1)
+
+            # per-job snapshot of the ring at the job's corner diagonal
+            hit = (d == cornerd)[:, :, None].swapaxes(1, 2)  # (B, 1, 1)
+            sM = jnp.where(hit, rM, sM)
+            sX = jnp.where(hit, rX, sX)
+            sY = jnp.where(hit, rY, sY)
+
+            return (rM, rX, rY, sM, sX, sY), bp
+
+        Dscan = ilo_ext.shape[0] - G
+        carry, bps = lax.scan(
+            step, (ring0, ring0, ring0, ring0, ring0, ring0),
+            jnp.arange(Dscan))
+        _, _, _, sM, sX, sY = carry
+        return bps, sM, sX, sY
+
+    return core
+
+
 def _build_core(KL: int, KR: int, G: int, W: int):
     """Fill core for static (fan-in KL/KR, ring depth G, window W)."""
 
@@ -272,10 +500,19 @@ def _build_core(KL: int, KR: int, G: int, W: int):
 _core_cache: dict = {}
 
 
-def get_fanin_fill(KL: int, KR: int, G: int, W: int):
-    key = (KL, KR, G, W)
+def get_fanin_fill(KL: int, KR: int, G: int, W: int,
+                   OLm: int | None = None, ORm: int | None = None):
+    """Jitted fill for the static shape key. When the max per-side
+    offsets are known and small, the one-hot core is used (fast TPU
+    compiles); otherwise the gather core (fine on CPU, TPU compile
+    degrades with shape)."""
+    key = (KL, KR, G, W, OLm, ORm)
     if key not in _core_cache:
-        _core_cache[key] = jax.jit(_build_core(KL, KR, G, W))
+        if OLm is not None and ORm is not None and OLm * ORm <= 64:
+            core = _build_core_onehot(KL, KR, OLm, ORm, G, W)
+        else:
+            core = _build_core(KL, KR, G, W)
+        _core_cache[key] = jax.jit(core)
     return _core_cache[key]
 
 
@@ -556,7 +793,7 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
             inp.pop("band_lower", None)
         args = stack_fanin([inp], Lp, Rp, KL, KR, G, W=W, ilo=ilo,
                            dtype=dtype)
-        fill = get_fanin_fill(KL, KR, G, W)
+        fill = get_fanin_fill(KL, KR, G, W, OLm=inp["OL"], ORm=inp["OR"])
         bp, sM, sX, sY = fill(*args)
         from ..utils import fetch_np
         return (fetch_np(bp)[:, 0, :],

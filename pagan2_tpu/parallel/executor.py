@@ -346,7 +346,9 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
         # ilo_ext (arg 12) is the shared window schedule: replicate it
         args = [jax.device_put(a, spec) if k != 12 else a
                 for k, a in enumerate(args)]
-    fill = get_fanin_fill(KL, KR, G, Lp)
+    fill = get_fanin_fill(KL, KR, G, Lp,
+                          OLm=max(i["OL"] for i in inputs),
+                          ORm=max(i["OR"] for i in inputs))
     bp, sM, sX, sY = fill(*args)
     EXEC_STATS["launches"] += 1
     EXEC_STATS["batched_jobs"] += B
