@@ -121,26 +121,35 @@ def bench_fanin(rng, model, settings, on_tpu):
 
 
 def bench_banded(rng, model, settings, on_tpu):
-    """Anchored long pair through the windowed banded kernel; GCUPS
-    counts IN-BAND cells only (the work actually done)."""
+    """Anchored long pair through the windowed banded Pallas kernel
+    (O(D x W) memory — the megabase story); GCUPS counts IN-BAND cells
+    only (the work actually done), and the wall-clock per fill is
+    reported since narrow bands make in-band GCUPS look small by
+    construction."""
     from pagan2_tpu.graph import build_leaf_graph
     from pagan2_tpu.models import alphabets as alph
     from pagan2_tpu.align.anchors import define_tunnel_for_graphs
-    from pagan2_tpu.align.viterbi_banded import banded_fill_args
-    N = 32767 if on_tpu else 2047
+    from pagan2_tpu.align import viterbi_pallas_banded as vpb
+    N = 131071 if on_tpu else 2047
     base = rng.choice(list("ACGT"), size=N)
     g1 = build_leaf_graph("".join(base), alph.DNA)
     g2 = build_leaf_graph(_mut(rng, base, 0.03), alph.DNA)
     upper, lower, _blocks, cov = define_tunnel_for_graphs(g1, g2)
     in_band = int(np.sum(np.asarray(lower[:N], np.int64)
                          - np.asarray(upper[:N], np.int64) + 1))
-    core, args, _ilo, _inp = banded_fill_args(
-        g1, g2, model, settings, upper, lower, dtype=np.float32)
+    if not on_tpu:
+        vpb.INTERPRET = True
+    args, _meta = vpb.pallas_banded_args(g1, g2, model, settings,
+                                         upper, lower)
 
-    dt = slope_time(lambda: core(*args),
-                    lambda o: float(np.asarray(o[1])[0]), on_tpu,
+    def fill():
+        return vpb.pallas_banded_fill(args["fscal"], args["iscal"],
+                                      args["sched_dev"], args["ms"])
+
+    dt = slope_time(fill, lambda o: float(np.asarray(o[1])[0, 0]), on_tpu,
                     k1=2 if on_tpu else 1, k2=6 if on_tpu else 3)
-    return in_band / dt / 1e9, f"{N}bp pair, {cov * 100:.0f}%% band"
+    return in_band / dt / 1e9, (f"{N}bp pair, {cov * 100:.1f}%% band, "
+                                f"{dt * 1e3:.1f} ms/fill")
 
 
 def main():

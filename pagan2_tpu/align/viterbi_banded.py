@@ -324,8 +324,24 @@ def banded_align_path(left: SequenceGraph, right: SequenceGraph,
                       dtype=np.float64):
     """Banded fill with windowed memory + host backtrack. Falls back to
     the full masked kernel if the band cannot reach the end corner
-    (viterbi_alignment.cpp:298-317)."""
+    (viterbi_alignment.cpp:298-317).
+
+    On an accelerator backend the fill runs in the windowed-band Pallas
+    kernel (viterbi_pallas_banded) — the lax.scan core below issues one
+    tiny step per diagonal and is dispatch-bound there (~200x slower on
+    TPU v5e at 32 kb)."""
     from .viterbi_jax import _backtrack_arrays
+    from . import viterbi_pallas_banded as vpb
+
+    if vpb.INTERPRET or jax.default_backend() != "cpu":
+        try:
+            return vpb.pallas_banded_align_path(
+                left, right, model, settings, upper, lower,
+                left_branch_length, right_branch_length)
+        except Exception as e:       # pragma: no cover - defensive
+            from ..utils import log_out
+            log_out("pallas banded fill failed (%s: %s); using the "
+                    "scan core" % (e.__class__.__name__, e), 1)
 
     core, args, ilo, inp = banded_fill_args(left, right, model, settings,
                                             upper, lower, dtype)
