@@ -83,13 +83,15 @@ def bench_pallas(rng, model, settings, on_tpu):
 
 def bench_fanin(rng, model, settings, on_tpu):
     """454-mode read graphs (homopolymer skip edges -> fan-in) through
-    the batched ring-buffer kernel — the canonical pileup workload."""
+    the fan-in kernel — the canonical pileup workload. TPU runs the
+    VMEM-ring pallas kernel; CPU the scan core."""
     import jax.numpy as jnp
     from pagan2_tpu.graph import build_leaf_graph
     from pagan2_tpu.models import alphabets as alph
     from pagan2_tpu.align.viterbi_fanin import (prepare_fanin, stack_fanin,
                                                 get_fanin_fill, _g_bucket,
                                                 _bucket)
+    from pagan2_tpu.align import viterbi_pallas_fanin as vpf
     B, N = (16, 2047) if on_tpu else (2, 255)
     inputs = []
     cells = 0
@@ -105,9 +107,23 @@ def bench_fanin(rng, model, settings, on_tpu):
         cells += inp["L"] * inp["R"]
     KL = max(i["KL"] for i in inputs)
     KR = max(i["KR"] for i in inputs)
-    G = _g_bucket(max(i["OL"] + i["OR"] for i in inputs))
     Lp = _bucket(max(i["L"] for i in inputs))
     Rp = _bucket(max(i["R"] for i in inputs))
+    if on_tpu and vpf.pallas_fanin_eligible(inputs, B, Lp):
+        args, meta = vpf.pallas_fanin_args(inputs, Lp, Rp, KL, KR)
+
+        def fill():
+            return vpf.pallas_fanin_fill(
+                args["fscal"], args["iscal"], args["loff"], args["llw"],
+                args["pal"], args["vlo"], args["vhi"], args["ms"],
+                args["rpk"], KL=KL, KR=KR, OLm=meta["OLm"],
+                ORm=meta["ORm"], P=meta["P"])
+
+        dt = slope_time(fill, lambda o: float(np.asarray(o[1])[0, 0, 0]),
+                        on_tpu)
+        return cells / dt / 1e9, f"{B}x{N}bp 454 K{KL}/{KR} pallas"
+
+    G = _g_bucket(max(i["OL"] + i["OR"] for i in inputs))
     args = stack_fanin(inputs, Lp, Rp, KL, KR, G, dtype=np.float32)
     args = [jnp.asarray(a) for a in args]
     fill = get_fanin_fill(KL, KR, G, Lp,
@@ -180,12 +196,7 @@ def main():
 
     gcups, desc = bench_pallas(rng, model, settings, on_tpu)
     secondary = {}
-    cases = [("banded_anchored", bench_banded)]
-    # the fan-in kernel's gather lowering currently blows up TPU
-    # compile times at bench shapes (minutes at N=255); CPU runs it
-    # always, TPU only on request until the one-hot redesign lands
-    if not on_tpu or os.environ.get("PAGAN2_BENCH_FANIN"):
-        cases.insert(0, ("fanin_454", bench_fanin))
+    cases = [("fanin_454", bench_fanin), ("banded_anchored", bench_banded)]
     for name, fn in cases:
         try:
             g, d = fn(rng, model, settings, on_tpu)

@@ -771,6 +771,51 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
     Lp, Rp = _bucket(L), _bucket(R)
     D = Lp + Rp - 1
 
+    # accelerator backends run the VMEM-ring pallas kernel (the scan
+    # cores round-trip the ring through HBM every diagonal: ~60x
+    # slower on TPU v5e); band bounds are honored as masks. The scan
+    # stays for CPU, oversized streams, and over-cap graphs.
+    from . import viterbi_pallas_fanin as vpf
+    use_pallas = ((vpf.INTERPRET or jax.default_backend() != "cpu")
+                  and vpf.pallas_fanin_eligible([inp], 1, Lp)
+                  and D * Lp * 12 <= 512 * 1024 * 1024)
+    if use_pallas:
+        def run_pallas(bnd):
+            if bnd is not None:
+                inp["band_upper"] = np.clip(
+                    np.asarray(bnd[0][:L], np.int64), 0,
+                    R - 1).astype(np.int32)
+                inp["band_lower"] = np.clip(
+                    np.asarray(bnd[1][:L], np.int64), 0,
+                    R - 1).astype(np.int32)
+            else:
+                inp.pop("band_upper", None)
+                inp.pop("band_lower", None)
+            bp, snaps = vpf.pallas_fanin_run([inp], Lp, Rp, KL, KR)
+            return (bp[0], tuple(s[0] for s in snaps),
+                    np.zeros(D, np.int32))
+
+        try:
+            bp, snaps, ilo = run_pallas(band)
+            path, end = finish_fanin(inp, bp, snaps, ilo, left, right,
+                                     model, settings, left_branch_length,
+                                     right_branch_length, kr_decode=KR)
+            if path is None and band is not None:
+                bp, snaps, ilo = run_pallas(None)
+                path, end = finish_fanin(inp, bp, snaps, ilo, left,
+                                         right, model, settings,
+                                         left_branch_length,
+                                         right_branch_length,
+                                         kr_decode=KR)
+            if path is not None:
+                return path, end
+            raise RuntimeError(
+                "fan-in fill could not reach the end corner")
+        except (ValueError, MemoryError) as e:  # pragma: no cover
+            from ..utils import log_out
+            log_out("pallas fan-in fill failed (%s: %s); using the "
+                    "scan core" % (e.__class__.__name__, e), 1)
+
     def run(bnd):
         if bnd is not None:
             from .viterbi_banded import band_windows

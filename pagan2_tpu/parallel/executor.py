@@ -338,6 +338,44 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     KL = max(inp["KL"] for inp in inputs)
     KR = max(inp["KR"] for inp in inputs)
     G = _g_bucket(max(inp["OL"] + inp["OR"] for inp in inputs))
+
+    # single-shard accelerator launches take the VMEM-ring pallas
+    # kernel (scan cores round-trip the ring through HBM per diagonal)
+    from ..align import viterbi_pallas_fanin as vpf
+    if ((vpf.INTERPRET or jax.default_backend() != "cpu")
+            and n_shards == 1
+            and vpf.pallas_fanin_eligible(inputs, B, Lp)
+            and (Lp + Rp) * Lp * B * 12 <= 2 * 1024 ** 3):
+        bpB, snapsB = vpf.pallas_fanin_run(inputs, Lp, Rp, KL, KR)
+        EXEC_STATS["launches"] += 1
+        EXEC_STATS["batched_jobs"] += B
+        EXEC_STATS["batched_cells"] += sum(
+            inp["L"] * inp["R"] for inp in inputs)
+        log_out("batched fan-in launch: %d jobs (bucket %dx%d K%d/%d, "
+                "pallas)" % (B, Lp, Rp, KL, KR), 3)
+        EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
+        ilo = np.zeros(Lp + Rp - 1, np.int32)
+        for b, i in enumerate(idxs):
+            job = jobs[i]
+            s = job.settings.for_reads() if job.is_reads_sequence \
+                else job.settings
+            path, end = finish_fanin(
+                inputs[b], bpB[b], tuple(sn[b] for sn in snapsB), ilo,
+                job.left, job.right, job.model, s,
+                job.left_branch_length, job.right_branch_length,
+                kr_decode=KR)
+            if path is None:
+                job.band = None
+                results[i] = _run_single(job, engine)
+                continue
+            anc = build_ancestral_graph(
+                job.left, job.right, path, job.model, s,
+                job.left_branch_length, job.right_branch_length,
+                job.is_reads_sequence,
+                compute_consensus=job.compute_consensus)
+            results[i] = (anc, end)
+        return
+
     stacked = inputs + [inputs[0]] * (pad_to - B)
     args = stack_fanin(stacked, Lp, Rp, KL, KR, G, dtype=dtype)
     if mesh is not None and n_shards > 1:

@@ -144,3 +144,107 @@ def test_executor_batches_fanin_generations():
                               engine="oracle")
     assert {e.name: e.sequence for e in res.alignment} == \
         {e.name: e.sequence for e in res_o.alignment}
+
+
+# ----------------------------------------------------------------------
+# pallas fan-in kernel (viterbi_pallas_fanin): the fanin_align_path /
+# executor dispatch must route through it with identical results
+
+from pagan2_tpu.align import viterbi_pallas_fanin as vpf  # noqa: E402
+
+
+def test_pallas_fanin_dispatch_matches_scan_and_oracle():
+    rng = np.random.default_rng(11)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    checked = 0
+    for trial in range(4):
+        g1, g2, s1, s2 = _graphs(trial, rng, n=34 + 7 * trial)
+        inp = prepare_fanin(g1, g2, model, settings)
+        if not fanin_device_eligible(inp) or \
+                not vpf.pallas_fanin_eligible([inp], 1, 64):
+            continue
+        opath, oend = PairAligner(g1, g2, model, settings).align()
+
+        def rebuild():
+            a = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+            b = build_leaf_graph(s2, alph.DNA, mode454=(trial % 2 == 0))
+            return a, b
+
+        ga, gb = rebuild()
+        spath, send = fanin_align_path(ga, gb, model, settings)  # scan
+        ga, gb = rebuild()
+        vpf.INTERPRET = True
+        try:
+            ppath, pend = fanin_align_path(ga, gb, model, settings)
+        finally:
+            vpf.INTERPRET = False
+        assert _sig(ppath) == _sig(opath) == _sig(spath)
+        assert pend.score == pytest.approx(oend.score, rel=1e-5)
+        checked += 1
+    assert checked >= 2
+
+
+def test_pallas_fanin_banded_masks_match_windowed_scan():
+    """Band bounds are honored as masks in the pallas kernel; the path
+    must equal the windowed scan's banded fill."""
+    rng = np.random.default_rng(12)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.25)
+    settings = AlignSettings()
+    n = 50
+    s1 = "".join(rng.choice(list("AACCGGTT"), size=n))
+    s2 = s1[:12] + s1[18:]      # related, with an indel
+
+    def rebuild():
+        a = build_leaf_graph(s1, alph.DNA, mode454=True)
+        b = build_leaf_graph(s2, alph.DNA, mode454=True)
+        return a, b
+
+    ga, gb = rebuild()
+    L = ga.num_sites() - 1
+    R = gb.num_sites() - 1
+    upper = np.maximum(np.arange(L) - 12, 0).astype(np.int32)
+    lower = np.minimum(np.arange(L) + 12, R - 1).astype(np.int32)
+    spath, send = fanin_align_path(ga, gb, model, settings,
+                                   band=(upper, lower))
+    ga, gb = rebuild()
+    vpf.INTERPRET = True
+    try:
+        ppath, pend = fanin_align_path(ga, gb, model, settings,
+                                       band=(upper, lower))
+    finally:
+        vpf.INTERPRET = False
+    assert _sig(ppath) == _sig(spath)
+    assert pend.score == pytest.approx(send.score, rel=1e-5)
+
+
+def test_pallas_fanin_batch_executor_matches_single():
+    """The batched executor's pallas fan-in launch must produce the
+    same ancestors as per-job scan fills."""
+    import copy
+    from pagan2_tpu.parallel.executor import execute_pair_jobs, PairJob
+    rng = np.random.default_rng(13)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    jobs = []
+    singles = []
+    for t in range(3):
+        g1, g2, s1, s2 = _graphs(t, rng, n=30 + 5 * t)
+        inp = prepare_fanin(g1, g2, model, settings)
+        if not fanin_device_eligible(inp):
+            continue
+        jobs.append(PairJob(left=copy.deepcopy(g1),
+                            right=copy.deepcopy(g2), model=model,
+                            settings=settings))
+        singles.append(fanin_align_path(g1, g2, model, settings))
+    assert len(jobs) >= 2
+    vpf.INTERPRET = True
+    try:
+        results = execute_pair_jobs(jobs)
+    finally:
+        vpf.INTERPRET = False
+    for (anc, end), (spath, send) in zip(results, singles):
+        assert end.score == pytest.approx(send.score, rel=1e-5)
