@@ -117,7 +117,8 @@ def bench_fanin(rng, model, settings, on_tpu):
                 args["fscal"], args["iscal"], args["loff"], args["llw"],
                 args["pal"], args["vlo"], args["vhi"], args["ms"],
                 args["rpk"], KL=KL, KR=KR, OLm=meta["OLm"],
-                ORm=meta["ORm"], P=meta["P"])
+                ORm=meta["ORm"], P=meta["P"], Bc=meta["Bc"],
+                VL=meta["VL"], VR=meta["VR"])
 
         dt = slope_time(fill, lambda o: float(np.asarray(o[1])[0, 0, 0]),
                         on_tpu)
@@ -164,7 +165,7 @@ def bench_banded(rng, model, settings, on_tpu):
 
     dt = slope_time(fill, lambda o: float(np.asarray(o[1])[0, 0]), on_tpu,
                     k1=2 if on_tpu else 1, k2=6 if on_tpu else 3)
-    return in_band / dt / 1e9, (f"{N}bp pair, {cov * 100:.1f}%% band, "
+    return in_band / dt / 1e9, (f"{N}bp pair, {cov * 100:.1f}% band, "
                                 f"{dt * 1e3:.1f} ms/fill")
 
 

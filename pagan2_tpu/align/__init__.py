@@ -76,6 +76,27 @@ def plan_band(left, right, settings):
     return band, False
 
 
+def _acct(t0, cells):
+    """Count a single-job fill in the executor's launch counters so the
+    CLI --time report derives a real GCUPS figure for sequential runs
+    too (batched launches account for themselves in executor.py)."""
+    import time
+    from ..parallel.executor import EXEC_STATS
+    EXEC_STATS["batched_cells"] += int(cells)
+    EXEC_STATS["fill_seconds"] += time.perf_counter() - t0
+    EXEC_STATS["single_fills"] = EXEC_STATS.get("single_fills", 0) + 1
+
+
+def _band_cells(band, L, R):
+    """In-band cell count (the work a banded fill actually does)."""
+    import numpy as np
+    if band is None:
+        return L * R
+    u = np.maximum(np.asarray(band[0][:L], np.int64), 0)
+    lo = np.minimum(np.asarray(band[1][:L], np.int64), R - 1)
+    return int(np.sum(np.clip(lo - u + 1, 0, None)))
+
+
 def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                right_branch_length=0.0, is_reads_sequence=False,
                engine="auto", compute_consensus=False, band=None,
@@ -123,6 +144,10 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                       and not settings.pair_end_reads
                       and is_linear_chain(left) and is_linear_chain(right))
         from ..io import plots
+        import time as _time
+        _t0 = _time.perf_counter()
+        _Lc = left.num_sites() - 1
+        _Rc = right.num_sites() - 1
         if use_device:
             # device fwd/bwd probability planes (scaled sheared scans)
             # replace the oracle's O(L*R) host loops
@@ -153,6 +178,7 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
 
             def draw_extra():
                 return aligner.sample_path(rng)[0]
+        _acct(_t0, _Lc * _Rc)
         anc = build_ancestral_graph(left, right, path, model, settings,
                                     left_branch_length, right_branch_length,
                                     is_reads_sequence,
@@ -190,23 +216,28 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                     band, skipped = plan_band(left, right, settings)
                     if skipped:
                         return None, None
+                import time as _time
+                L = left.num_sites() - 1
+                R = right.num_sites() - 1
                 if band is not None:
                     from .viterbi_banded import band_windows, \
                         banded_align_path
-                    L = left.num_sites() - 1
-                    R = right.num_sites() - 1
                     _ilo, Wreal = band_windows(band[0], band[1], L, R)
                     if _bucket(Wreal) * 2 <= _bucket(R):
                         log_out("banded DP: window %d of %d cols" %
                                 (Wreal, R), 2)
+                        _t0 = _time.perf_counter()
                         path, end = banded_align_path(
                             left, right, model, settings,
                             band[0], band[1],
                             left_branch_length, right_branch_length)
+                        _acct(_t0, _band_cells(band, L, R))
                 if path is None:
+                    _t0 = _time.perf_counter()
                     path, end = sheared_align_path(
                         left, right, model, settings,
                         left_branch_length, right_branch_length, band=band)
+                    _acct(_t0, _band_cells(band, L, R))
             elif ok and not settings.pair_end_reads:
                 # graph fan-in: ring-buffer sheared kernel when the
                 # edge offsets are bounded (454/homopolymer reads,
@@ -223,28 +254,43 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                         band, skipped = plan_band(left, right, settings)
                         if skipped:
                             return None, None
+                    import time as _time
+                    _t0 = _time.perf_counter()
                     path, end = fanin_align_path(
                         left, right, model, settings,
                         left_branch_length, right_branch_length, band=band)
+                    _acct(_t0, _band_cells(band, left.num_sites() - 1,
+                                           right.num_sites() - 1))
                 else:
                     from .viterbi_jax import jax_align_path
+                    import time as _time
+                    _t0 = _time.perf_counter()
                     path, end = jax_align_path(left, right, model,
                                                settings,
                                                left_branch_length,
                                                right_branch_length)
+                    _acct(_t0, (left.num_sites() - 1) *
+                          (right.num_sites() - 1))
             else:
                 from .viterbi_jax import jax_align_path
+                import time as _time
+                _t0 = _time.perf_counter()
                 path, end = jax_align_path(left, right, model, settings,
                                            left_branch_length,
                                            right_branch_length)
+                _acct(_t0, (left.num_sites() - 1) *
+                      (right.num_sites() - 1))
         except ImportError:
             if engine == "jax":
                 raise
 
     if path is None:
+        import time as _time
+        _t0 = _time.perf_counter()
         aligner = PairAligner(left, right, model, settings,
                               left_branch_length, right_branch_length)
         path, end = aligner.align()
+        _acct(_t0, (left.num_sites() - 1) * (right.num_sites() - 1))
         if settings.compute_full_score:
             from ..io import plots
             if plots.posterior_sink_active():

@@ -19,9 +19,10 @@ ext, double, open, edges in bwd-list order, viterbi_alignment.cpp:
 :1353-1436) with strict-greater first-wins updates, so tracebacks are
 identical to the host oracle.
 
-Memory: one packed uint16 backpointer per in-band cell (bm 6 bits, bx 5,
-by 5) + O(G x W) ring state; match scores come from a per-row gather of
-the left log-score table (no O(L*R) table anywhere).
+Memory: one packed uint32 backpointer per in-band cell (bm, bx, by 8
+bits each — wide enough that K_CAP=8 fan-in can never overflow a
+field) + O(G x W) ring state; match scores come from a per-row gather
+of the left log-score table (no O(L*R) table anywhere).
 """
 from __future__ import annotations
 
@@ -37,9 +38,9 @@ from .oracle import MatrixPtr, PathPtr
 from .viterbi_sheared import _bucket
 
 NEG = -np.inf
-_BM_NONE = 63      # 6 bits
-_BX_NONE = 31      # 5 bits
-_BY_NONE = 31
+_BM_NONE = 255     # 8-bit fields: bm | bx<<8 | by<<16
+_BX_NONE = 255
+_BY_NONE = 255
 
 # device-eligibility caps: per-site fan-in and total offset reach
 # (KL*KR*3 candidate updates per diagonal; 8x8 = 192 is the practical
@@ -275,9 +276,9 @@ def _build_core_onehot(KL: int, KR: int, OLm: int, ORm: int, G: int,
             M = jnp.where(seed, jnp.zeros((), f), M)
 
             bp = (jnp.where(okm, codeM, _BM_NONE) +
-                  (jnp.where(okx, codeX, _BX_NONE) << 6) +
-                  (jnp.where(oky, codeY, _BY_NONE) << 11)
-                  ).astype(jnp.uint16)
+                  (jnp.where(okx, codeX, _BX_NONE) << 8) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 16)
+                  ).astype(jnp.uint32)
 
             # roll the ring: new diagonal becomes plane 0
             rM = jnp.concatenate([M[:, None], rM[:, :-1]], axis=1)
@@ -324,8 +325,8 @@ def _build_core(KL: int, KR: int, G: int, W: int):
 
         ring0 = jnp.full((B, G * W), neg, f)
         snap0 = jnp.full((B, G, W), neg, f)
-        final_none = jnp.full((B, W), _BM_NONE + (_BX_NONE << 6) +
-                              (_BY_NONE << 11), jnp.uint16)
+        final_none = jnp.full((B, W), _BM_NONE + (_BX_NONE << 8) +
+                              (_BY_NONE << 16), jnp.uint32)
 
         def win_rows(vec_ext, ilo):
             return lax.dynamic_slice_in_dim(vec_ext, ilo, W, axis=1)
@@ -469,9 +470,9 @@ def _build_core(KL: int, KR: int, G: int, W: int):
             M = jnp.where(seed, jnp.zeros((), f), M)
 
             bp = (jnp.where(okm, codeM, _BM_NONE) +
-                  (jnp.where(okx, codeX, _BX_NONE) << 6) +
-                  (jnp.where(oky, codeY, _BY_NONE) << 11)
-                  ).astype(jnp.uint16)
+                  (jnp.where(okx, codeX, _BX_NONE) << 8) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 16)
+                  ).astype(jnp.uint32)
 
             # roll the ring: new diagonal becomes index 0
             rM = jnp.concatenate([M, rM[:, :-W]], axis=1)
@@ -570,6 +571,7 @@ def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
         leid=la["eid"][:L + 1], lprev=la["prev"][:L + 1],
         reid=ra["eid"][:R + 1], rprev=ra["prev"][:R + 1],
         lng=dtype(m.log_non_gap()), lgo=dtype(lgo),
+        gext=dtype(gext), gend=dtype(gend),
         log_score=model.log_score.astype(dtype),
     )
 
@@ -674,7 +676,7 @@ class _SnapScores:
 
 
 class _FaninCells:
-    """Oracle-style cell accessor over the packed uint16 stripe."""
+    """Oracle-style cell accessor over the packed uint32 stripe."""
 
     def __init__(self, bp, ilo, inp, left, right, snaps=None,
                  kr_decode=None):
@@ -696,7 +698,7 @@ class _FaninCells:
         d = i + j
         t = i - int(self.ilo[d])
         if t < 0 or t >= self.W or d >= self.bp.shape[0]:
-            return _BM_NONE + (_BX_NONE << 6) + (_BY_NONE << 11)
+            return _BM_NONE + (_BX_NONE << 8) + (_BY_NONE << 16)
         return int(self.bp[d, t])
 
     def cell(self, which, i, j) -> MatrixPtr:
@@ -704,7 +706,7 @@ class _FaninCells:
         inp = self.inp
         mp = MatrixPtr()
         if which == M_MAT:
-            c = code & 63
+            c = code & 255
             if c == _BM_NONE:
                 return mp
             pair, move = divmod(c, 3)
@@ -715,7 +717,7 @@ class _FaninCells:
             mp.x_edge_ind = int(inp["leid"][i, kl])
             mp.y_edge_ind = int(inp["reid"][j, kr])
         elif which == X_MAT:
-            c = (code >> 6) & 31
+            c = (code >> 8) & 255
             if c == _BX_NONE:
                 mp.y_ind = j
                 return mp
@@ -725,7 +727,7 @@ class _FaninCells:
             mp.y_ind = j
             mp.x_edge_ind = int(inp["leid"][i, k])
         else:
-            c = (code >> 11) & 31
+            c = (code >> 16) & 255
             if c == _BY_NONE:
                 mp.x_ind = i
                 return mp

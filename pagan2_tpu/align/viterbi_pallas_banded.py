@@ -332,8 +332,14 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
 
     brkx = settings.x_read1_length if settings.pair_end_reads else -2
     brky = settings.y_read1_length if settings.pair_end_reads else -2
+    # interior/terminal extension scalars from the model (sampling
+    # gext_j[1] silently picks the pair-break value when
+    # y_read1_length == 1 wrote the break penalty at index 1)
+    gext = dtype(model.log_gap_ext())
+    gend = (gext if settings.no_terminal_edges
+            else dtype(model.log_gap_end_ext()))
     gbrk = (model.log_gap_break_ext() if settings.pair_end_reads
-            else inp["gext_j"][0])
+            else gend)
     # open_l[0] / open_r[0] (and the pair-end break sites) are zeroed
     # only under reduced terminal penalties (prepare_sheared:230-247)
     olz = orz = (0.0 if settings.reduced_terminal_gap_penalties
@@ -341,8 +347,7 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
 
     cornerd = D - 1
     tcorner = (L - 1) - int(ilo[cornerd])
-    fscal = np.array([[inp["gext_j"][1] if R > 2 else inp["gext_j"][0],
-                       inp["gext_j"][0], gbrk, inp["lgo"], inp["lng"],
+    fscal = np.array([[gext, gend, gbrk, inp["lgo"], inp["lng"],
                        olz, orz, 0]], dtype)
     iscal = np.array([[L, R, brkx, brky, cornerd, tcorner, 0, 0]],
                      np.int32)

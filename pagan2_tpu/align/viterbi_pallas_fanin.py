@@ -9,7 +9,8 @@ the grid and the per-step working set never leaves the chip:
 
 - layout identical to viterbi_pallas: batch B on sublanes, left rows Lp
   on lanes, one anti-diagonal per unrolled step, TD diagonals per grid
-  block;
+  block; a second (major) grid axis sweeps the batch in chunks of Bc
+  sublanes so the VMEM working set is O(Bc x Lp) regardless of B;
 - edge sources are selected one-hot over ring planes: per left offset g
   the three ring planes of diagonal d-g are statically lane-rolled by g
   once per step, then per edge slot a compare/select against the
@@ -17,7 +18,12 @@ the grid and the per-step working set never leaves the chip:
   viterbi_alignment.cpp:1328-1349); match moves select over (left
   offset s, right offset r) from plane d-s-r rolled by s
   (viterbi_alignment.cpp:1353-1436). Candidate order and strict
-  first-wins updates match the scan cores (and the oracle) exactly;
+  first-wins updates match the scan cores (and the oracle) exactly.
+  When every job in the launch draws slot k's edges from a single
+  offset v_k (454/homopolymer graphs: slot 0 = chain edge offset 1,
+  slots 1/2 = skip edges offsets 2/3), the one-hot select chain
+  collapses to ONE mask per candidate — ~3x fewer VPU ops on the
+  canonical pileup workload;
 - right-side per-column edge data streams as ONE packed int32 plane per
   cell: 8 bits per edge slot = 4-bit offset + 4-bit index into a
   per-job palette of edge log-weights (454/homopolymer graphs draw
@@ -25,8 +31,8 @@ the grid and the per-step working set never leaves the chip:
   offset caps stay on the scan core). Open penalties and gap
   extensions are reconstructed from index compares against scalars;
 - match scores stream pre-folded with log-non-gap (4 B/cell); packed
-  uint16-valued backpointer codes (bm | bx<<6 | by<<11, the scan
-  cores' exact layout) stream out as exact f32 integers;
+  backpointer codes (bm | bx<<8 | by<<16, the scan cores' exact 8-bit
+  fields — max 2^24-1, exactly representable in f32) stream out;
 - the ring snapshot at each job's corner diagonal is captured to
   dedicated outputs (predicated off outside the corner blocks) for the
   host end-corner resolution (_end_corner_arrays needs scores of the
@@ -55,7 +61,26 @@ _BIG = np.int32(2 ** 30)
 P_CAP = 8          # right edge-weight palette entries
 OFF_CAP = 7        # per-side max edge offset (4-bit packed, rolls/step)
 K_CAP_R = 4        # right fan-in slots in one packed int32
-VMEM_BUDGET = 10 * 1024 * 1024
+# per-batch-chunk VMEM footprint cap: ring + snapshots + double-buffered
+# stream blocks. Empirically validated: 16 sublanes x 2048 lanes x Gm=6
+# (~13 MB by this formula) compiles and runs on TPU v5e.
+VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _chunk_vmem(Bc: int, Lp: int, Gm: int) -> int:
+    return (3 * Gm * 2 + 3 * Gm + 4 * _TD + 16) * Bc * Lp * 4
+
+
+def pick_chunk(B: int, Lp: int, Gm: int) -> int:
+    """Largest power-of-two batch chunk (<= next_pow2(B), >= 1) whose
+    VMEM footprint fits the budget. Callers pad B to a multiple."""
+    b2 = 1
+    while b2 < B:
+        b2 *= 2
+    Bc = 1
+    while Bc < b2 and _chunk_vmem(Bc * 2, Lp, Gm) <= VMEM_BUDGET:
+        Bc *= 2
+    return Bc
 
 
 def pallas_fanin_eligible(inputs, B, Lp) -> bool:
@@ -65,17 +90,36 @@ def pallas_fanin_eligible(inputs, B, Lp) -> bool:
     OR = max(i["OR"] for i in inputs)
     if KR > K_CAP_R or OL > OFF_CAP or OR > OFF_CAP:
         return False
+    # packed-code field widths (8 bits each, NONE sentinel reserved)
+    if KL * KR * 3 >= _BM_NONE or KL * 3 >= _BX_NONE or \
+            KR * 3 >= _BY_NONE:
+        return False
     if any(len(np.unique(i["rlw"][i["roff"] > 0])) > P_CAP
            for i in inputs):
         return False
     Gm = OL + OR
-    # ring + snapshots + stream blocks must fit VMEM
-    vm = (3 * Gm * 2 + 3 * Gm + 4 * _TD + 16) * B * Lp * 4
-    return vm <= VMEM_BUDGET
+    # the minimum viable chunk (8 f32 sublanes) must fit VMEM
+    return _chunk_vmem(min(B, 8), Lp, Gm) <= VMEM_BUDGET
+
+
+def _uniform_slots(offs: list[np.ndarray], K: int):
+    """Per-slot offsets as a static tuple when every job draws slot k
+    from one offset value, else None. offs: per-job (N, k_j) arrays."""
+    vals = []
+    for k in range(K):
+        seen = set()
+        for o in offs:
+            if k < o.shape[1]:
+                nz = np.unique(o[:, k][o[:, k] > 0])
+                seen.update(int(v) for v in nz)
+        if len(seen) != 1:
+            return None
+        vals.append(seen.pop())
+    return tuple(vals)
 
 
 # ----------------------------------------------------------------------
-def _kernel(TD, KL, KR, OLm, ORm, P,
+def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
             fscal_ref, iscal_ref, cmm_ref, loff_ref, llw_ref, pal_ref,
             vlo_ref, vhi_ref, ms_ref, rpk_ref,
             bp_ref, sM_ref, sX_ref, sY_ref, st_ref):
@@ -83,7 +127,8 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
     _, B, Lp = ms_ref.shape
     f = ms_ref.dtype
     neg = jnp.array(NEG, f)
-    blk = pl.program_id(0)
+    blk = pl.program_id(1)
+    spec = VL is not None and VR is not None
 
     @pl.when(blk == 0)
     def _init():
@@ -125,20 +170,22 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
     # left per-slot offset/weight planes (resident)
     loffk = [loff_ref[k] for k in range(KL)]
     llwk = [llw_ref[k] for k in range(KL)]
-    lmask = [[loffk[k] == g for g in range(1, OLm + 1)]
-             for k in range(KL)]
+    if spec:
+        lmask = [loffk[k] == VL[k] for k in range(KL)]
+    else:
+        lmask = [[loffk[k] == g for g in range(1, OLm + 1)]
+                 for k in range(KL)]
 
     for t in range(TD):
         d = 1 + blk * TD + t
         jt = d - lane                       # target column per lane
 
-        # rolled ring views for gap moves: source (i-g, j) / depth g
-        RM = [None] + [pltpu.roll(pM[g - 1], g, axis=1)
-                       for g in range(1, OLm + 1)]
-        RX = [None] + [pltpu.roll(pX[g - 1], g, axis=1)
-                       for g in range(1, OLm + 1)]
-        RY = [None] + [pltpu.roll(pY[g - 1], g, axis=1)
-                       for g in range(1, OLm + 1)]
+        # rolled ring views for gap moves: source (i-g, j) / depth g.
+        # Specialized launches only roll the depths actually used.
+        ldepths = sorted(set(VL)) if spec else range(1, OLm + 1)
+        RM = {g: pltpu.roll(pM[g - 1], g, axis=1) for g in ldepths}
+        RX = {g: pltpu.roll(pX[g - 1], g, axis=1) for g in ldepths}
+        RY = {g: pltpu.roll(pY[g - 1], g, axis=1) for g in ldepths}
 
         # right-side packed stream: per slot 4-bit offset + 4-bit
         # weight-palette index
@@ -154,8 +201,11 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
                 w = jnp.where(idx == p, pal_ref[:, p:p + 1], w)
             roffk.append(off)
             rlwk.append(w)
-        rmask = [[roffk[k] == r for r in range(1, ORm + 1)]
-                 for k in range(KR)]
+        if spec:
+            rmask = [roffk[k] == VR[k] for k in range(KR)]
+        else:
+            rmask = [[roffk[k] == r for r in range(1, ORm + 1)]
+                     for k in range(KR)]
 
         def upd(best, code, cand, c):
             take = cand > best
@@ -168,13 +218,21 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
         bestX = jnp.full((B, Lp), neg, f)
         codeX = jnp.full((B, Lp), float(_BX_NONE), f)
         for k in range(KL):
-            gx = gy = gm = None
-            for g in range(1, OLm + 1):
-                m = lmask[k][g - 1]
-                gx = jnp.where(m, RX[g], gx if gx is not None else neg)
-                gy = jnp.where(m, RY[g], gy if gy is not None else neg)
-                gm = jnp.where(m, RM[g], gm if gm is not None else neg)
-            lopen = jnp.where(lane - loffk[k] == 0, olz, lgo)
+            if spec:
+                v = VL[k]
+                m = lmask[k]
+                gx = jnp.where(m, RX[v], neg)
+                gy = jnp.where(m, RY[v], neg)
+                gm = jnp.where(m, RM[v], neg)
+                lopen = jnp.where(lane == v, olz, lgo)
+            else:
+                gx = gy = gm = None
+                for g in range(1, OLm + 1):
+                    m = lmask[k][g - 1]
+                    gx = jnp.where(m, RX[g], gx if gx is not None else neg)
+                    gy = jnp.where(m, RY[g], gy if gy is not None else neg)
+                    gm = jnp.where(m, RM[g], gm if gm is not None else neg)
+                lopen = jnp.where(lane - loffk[k] == 0, olz, lgo)
             bestX, codeX = upd(bestX, codeX, gx + gjx, k * 3)
             bestX, codeX = upd(bestX, codeX, gy + lgo, k * 3 + 1)
             bestX, codeX = upd(bestX, codeX, gm + lng + lopen,
@@ -185,13 +243,24 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
         bestY = jnp.full((B, Lp), neg, f)
         codeY = jnp.full((B, Lp), float(_BY_NONE), f)
         for k in range(KR):
-            gy = gx = gm = None
-            for r in range(1, ORm + 1):
-                m = rmask[k][r - 1]
-                gy = jnp.where(m, pY[r - 1], gy if gy is not None else neg)
-                gx = jnp.where(m, pX[r - 1], gx if gx is not None else neg)
-                gm = jnp.where(m, pM[r - 1], gm if gm is not None else neg)
-            ropen = jnp.where(jt - roffk[k] == 0, orz, lgo)
+            if spec:
+                r = VR[k]
+                m = rmask[k]
+                gy = jnp.where(m, pY[r - 1], neg)
+                gx = jnp.where(m, pX[r - 1], neg)
+                gm = jnp.where(m, pM[r - 1], neg)
+                ropen = jnp.where(jt == r, orz, lgo)
+            else:
+                gy = gx = gm = None
+                for r in range(1, ORm + 1):
+                    m = rmask[k][r - 1]
+                    gy = jnp.where(m, pY[r - 1],
+                                   gy if gy is not None else neg)
+                    gx = jnp.where(m, pX[r - 1],
+                                   gx if gx is not None else neg)
+                    gm = jnp.where(m, pM[r - 1],
+                                   gm if gm is not None else neg)
+                ropen = jnp.where(jt - roffk[k] == 0, orz, lgo)
             bestY, codeY = upd(bestY, codeY, gy + gexti, k * 3)
             bestY, codeY = upd(bestY, codeY, gx + lgo, k * 3 + 1)
             bestY, codeY = upd(bestY, codeY, gm + lng + ropen,
@@ -199,30 +268,42 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
 
         # ---- M: match consuming both (left edge outer, right edge
         # inner; per pair m, x, y; viterbi_alignment.cpp:1353-1436).
-        # Source = plane d-s-r lane-rolled by s, one-hot over (s, r).
+        # Source = plane d-s-r lane-rolled by s, one-hot over (s, r)
+        # (single mask per pair when slot offsets are uniform).
         SM = {}
         SX = {}
         SY = {}
-        for s in range(1, OLm + 1):
-            for r in range(1, ORm + 1):
-                SM[(s, r)] = pltpu.roll(pM[s + r - 1], s, axis=1)
-                SX[(s, r)] = pltpu.roll(pX[s + r - 1], s, axis=1)
-                SY[(s, r)] = pltpu.roll(pY[s + r - 1], s, axis=1)
+        pairs = (sorted({(VL[kl], VL[kl] + VR[kr])
+                         for kl in range(KL) for kr in range(KR)})
+                 if spec else
+                 [(s, s + r) for s in range(1, OLm + 1)
+                  for r in range(1, ORm + 1)])
+        for s, q in pairs:
+            SM[(s, q)] = pltpu.roll(pM[q - 1], s, axis=1)
+            SX[(s, q)] = pltpu.roll(pX[q - 1], s, axis=1)
+            SY[(s, q)] = pltpu.roll(pY[q - 1], s, axis=1)
         mbase = lng + ms_ref[t]
         bestM = jnp.full((B, Lp), neg, f)
         codeM = jnp.full((B, Lp), float(_BM_NONE), f)
         for kl in range(KL):
             for kr in range(KR):
-                gm = gx = gy = None
-                for s in range(1, OLm + 1):
-                    for r in range(1, ORm + 1):
-                        mm = lmask[kl][s - 1] & rmask[kr][r - 1]
-                        gm = jnp.where(mm, SM[(s, r)],
-                                       gm if gm is not None else neg)
-                        gx = jnp.where(mm, SX[(s, r)],
-                                       gx if gx is not None else neg)
-                        gy = jnp.where(mm, SY[(s, r)],
-                                       gy if gy is not None else neg)
+                if spec:
+                    s, q = VL[kl], VL[kl] + VR[kr]
+                    mm = lmask[kl] & rmask[kr]
+                    gm = jnp.where(mm, SM[(s, q)], neg)
+                    gx = jnp.where(mm, SX[(s, q)], neg)
+                    gy = jnp.where(mm, SY[(s, q)], neg)
+                else:
+                    gm = gx = gy = None
+                    for s in range(1, OLm + 1):
+                        for r in range(1, ORm + 1):
+                            mm = lmask[kl][s - 1] & rmask[kr][r - 1]
+                            gm = jnp.where(mm, SM[(s, s + r)],
+                                           gm if gm is not None else neg)
+                            gx = jnp.where(mm, SX[(s, s + r)],
+                                           gx if gx is not None else neg)
+                            gy = jnp.where(mm, SY[(s, s + r)],
+                                           gy if gy is not None else neg)
                 base = mbase + llwk[kl] + rlwk[kr]
                 c0 = (kl * KR + kr) * 3
                 bestM, codeM = upd(bestM, codeM, gm + lng + base, c0)
@@ -241,7 +322,7 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
         codeY = jnp.where(oky, codeY, float(_BY_NONE))
         codeM = jnp.where(okm, codeM, float(_BM_NONE))
 
-        bp_ref[t] = codeM + codeX * 64.0 + codeY * 2048.0
+        bp_ref[t] = codeM + codeX * 256.0 + codeY * 65536.0
 
         # rotate the ring (python-level: register/VMEM-resident planes)
         pM = [M] + pM[:-1]
@@ -263,44 +344,61 @@ def _kernel(TD, KL, KR, OLm, ORm, P,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("KL", "KR", "OLm", "ORm", "P", "TD"))
+                   static_argnames=("KL", "KR", "OLm", "ORm", "P", "TD",
+                                    "Bc", "VL", "VR"))
 def pallas_fanin_fill(fscal, iscal, loff, llw, pal, vlo, vhi, ms, rpk,
-                      KL, KR, OLm, ORm, P, TD=_TD):
+                      KL, KR, OLm, ORm, P, TD=_TD, Bc=None, VL=None,
+                      VR=None):
     """Run the fan-in fill. ms: (Dpk, B, Lp) pre-folded match scores
     for d = 1..; rpk: (Dpk, B, Lp) int32 packed right-edge stream.
-    Returns (bp (Dpk, B, Lp) f32 uint16-valued codes, sM, sX, sY
-    (Gm, B, Lp) corner ring snapshots)."""
+    Bc: batch-chunk width (must divide B; default B). VL/VR: static
+    per-slot edge offsets when uniform across the launch (fast path).
+    Returns (bp (Dpk, B, Lp) f32 packed codes, sM, sX, sY (Gm, B, Lp)
+    corner ring snapshots)."""
     Dpk, B, Lp = ms.shape
     f = ms.dtype
     Gm = OLm + ORm
-    grid = Dpk // TD
+    if Bc is None:
+        Bc = B
+    nb = B // Bc
+    grid = (nb, Dpk // TD)
     cmm = jnp.stack([jnp.min(iscal[:, 2]), jnp.max(iscal[:, 2])])[None, :]
-    resident = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def chunked(shape, bdim):
+        """BlockSpec slicing only the batch dim (axis bdim) by ib."""
+        blk = tuple(Bc if a == bdim else s for a, s in enumerate(shape))
+
+        def imap(ib, i, bdim=bdim, n=len(shape)):
+            return tuple(ib if a == bdim else 0 for a in range(n))
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    def streamed(bdim):
+        def imap(ib, i, bdim=bdim):
+            return tuple(ib if a == bdim else (i if a == 0 else 0)
+                         for a in range(3))
+        return pl.BlockSpec((TD, Bc, Lp), imap, memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
-        functools.partial(_kernel, TD, KL, KR, OLm, ORm, P),
-        grid=(grid,),
+        functools.partial(_kernel, TD, KL, KR, OLm, ORm, P, VL, VR),
+        grid=grid,
         in_specs=[
-            resident(fscal.shape),
-            resident(iscal.shape),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            chunked(fscal.shape, 0),
+            chunked(iscal.shape, 0),
+            pl.BlockSpec((1, 2), lambda ib, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            resident((KL, B, Lp)),
-            resident((KL, B, Lp)),
-            resident(pal.shape),
-            resident((B, Lp)),
-            resident((B, Lp)),
-            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            chunked((KL, B, Lp), 1),
+            chunked((KL, B, Lp), 1),
+            chunked(pal.shape, 0),
+            chunked((B, Lp), 0),
+            chunked((B, Lp), 0),
+            streamed(1),
+            streamed(1),
         ],
         out_specs=[
-            pl.BlockSpec((TD, B, Lp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            resident((Gm, B, Lp)),
-            resident((Gm, B, Lp)),
-            resident((Gm, B, Lp)),
+            streamed(1),
+            chunked((Gm, B, Lp), 1),
+            chunked((Gm, B, Lp), 1),
+            chunked((Gm, B, Lp), 1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Dpk, B, Lp), f),
@@ -308,7 +406,7 @@ def pallas_fanin_fill(fscal, iscal, loff, llw, pal, vlo, vhi, ms, rpk,
             jax.ShapeDtypeStruct((Gm, B, Lp), f),
             jax.ShapeDtypeStruct((Gm, B, Lp), f),
         ],
-        scratch_shapes=[pltpu.VMEM((3 * Gm, B, Lp), f)],
+        scratch_shapes=[pltpu.VMEM((3 * Gm, Bc, Lp), f)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
@@ -342,8 +440,10 @@ def pallas_fanin_args(inputs: list[dict], Lp: int, Rp: int,
         kl = inp["loff"].shape[1]
         kr = inp["roff"].shape[1]
         m = inp
-        gext = float(m["gext_j"][1]) if R > 2 else float(m["gext_j"][0])
-        gend = float(m["gext_j"][0])
+        # model-derived scalars (prepare_fanin); sampling gext_j by
+        # index would silently pick pair-break values under --pair-end
+        gext = float(m["gext"])
+        gend = float(m["gend"])
         # open penalty zeroed at predecessor==start only under reduced
         # terminal penalties: recover the scalar from the prep arrays
         # (the value only matters where a predecessor==start edge
@@ -405,29 +505,39 @@ def pallas_fanin_args(inputs: list[dict], Lp: int, Rp: int,
     pal = np.zeros((B, 8), dtype)   # fixed width; P entries used
     for b, wvals in enumerate(pals):
         pal[b, :len(wvals)] = wvals
+    VL = _uniform_slots([i["loff"] for i in inputs], KL)
+    VR = _uniform_slots([i["roff"] for i in inputs], KR)
     return (dict(fscal=jnp.asarray(fscal), iscal=jnp.asarray(iscal),
                  loff=jnp.asarray(loff), llw=jnp.asarray(llw),
                  pal=jnp.asarray(pal), vlo=jnp.asarray(vlo),
                  vhi=jnp.asarray(vhi), ms=jnp.asarray(ms),
                  rpk=jnp.asarray(rpk)),
-            dict(OLm=OLm, ORm=ORm, P=P, Dn=Dn))
+            dict(OLm=OLm, ORm=ORm, P=P, Dn=Dn, VL=VL, VR=VR,
+                 Bc=pick_chunk(B, Lp, OLm + ORm)))
 
 
 def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
                      KL: int, KR: int):
     """Fill a bucket of fan-in jobs on the pallas kernel. Returns
-    (bp (B, D, Lp) uint16, (sM, sX, sY) (B, Gm, Lp) snapshots) in the
+    (bp (B, D, Lp) uint32, (sM, sX, sY) (B, Gm, Lp) snapshots) in the
     scan cores' conventions (bp row 0 = diagonal 0, all NONE)."""
-    args, meta = pallas_fanin_args(inputs, Lp, Rp, KL, KR)
+    B = len(inputs)
+    OLm = max(i["OL"] for i in inputs)
+    ORm = max(i["OR"] for i in inputs)
+    Bc = pick_chunk(B, Lp, OLm + ORm)
+    pad = (-B) % Bc
+    padded = inputs + [inputs[0]] * pad
+    args, meta = pallas_fanin_args(padded, Lp, Rp, KL, KR)
     bp, sM, sX, sY = pallas_fanin_fill(
         args["fscal"], args["iscal"], args["loff"], args["llw"],
         args["pal"], args["vlo"], args["vhi"], args["ms"], args["rpk"],
-        KL=KL, KR=KR, OLm=meta["OLm"], ORm=meta["ORm"], P=meta["P"])
-    B = len(inputs)
+        KL=KL, KR=KR, OLm=meta["OLm"], ORm=meta["ORm"], P=meta["P"],
+        Bc=Bc, VL=meta["VL"], VR=meta["VR"])
     Dn = meta["Dn"]
-    none_code = _BM_NONE + (_BX_NONE << 6) + (_BY_NONE << 11)
-    bpu = np.asarray(bp[:Dn]).astype(np.uint16)
-    out = np.full((B, Dn + 1, bpu.shape[2]), none_code, np.uint16)
-    out[:, 1:, :] = np.swapaxes(bpu, 0, 1)
-    snaps = tuple(np.swapaxes(np.asarray(s), 0, 1) for s in (sM, sX, sY))
+    none_code = _BM_NONE + (_BX_NONE << 8) + (_BY_NONE << 16)
+    bpu = np.asarray(bp[:Dn]).astype(np.uint32)
+    out = np.full((B, Dn + 1, bpu.shape[2]), none_code, np.uint32)
+    out[:, 1:, :] = np.swapaxes(bpu[:, :B, :], 0, 1)
+    snaps = tuple(np.swapaxes(np.asarray(s)[:, :B, :], 0, 1)
+                  for s in (sM, sX, sY))
     return out, snaps

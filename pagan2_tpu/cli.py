@@ -693,10 +693,11 @@ def main(argv=None) -> int:
         cells = EXEC_STATS["batched_cells"]
         fs = EXEC_STATS["fill_seconds"]
         if cells and fs > 0:
-            print("TIME %-24s %8.3f GCUPS (%d cells, %d launches, "
-                  "%d jobs)" % ("dp-fill-rate", cells / fs / 1e9,
-                                cells, EXEC_STATS["launches"],
-                                EXEC_STATS["batched_jobs"]),
+            print("TIME %-24s %8.3g GCUPS (%d cells, %d launches, "
+                  "%d batched + %d single fills)"
+                  % ("dp-fill-rate", cells / fs / 1e9, cells,
+                     EXEC_STATS["launches"], EXEC_STATS["batched_jobs"],
+                     EXEC_STATS.get("single_fills", 0)),
                   file=sys.stderr)
 
     # honor JAX_PLATFORMS even though the sitecustomize axon registration

@@ -1,2 +1,2 @@
-from .jobs import (JobBatch, prepare_job, pad_and_stack, run_batch,
-                   make_jobs_mesh)
+from .executor import (PairJob, execute_pair_jobs, make_jobs_mesh,
+                       prepare_job, EXEC_STATS, reset_stats)

@@ -26,9 +26,17 @@ from ..utils import log_out
 # observability: kernel-launch / job counters (reset per run if
 # desired). fill_seconds wraps launch+readback wall time so the CLI's
 # --time report can derive a real-run GCUPS figure (in-band cells/s,
-# the reference logs only phase clocks, main.cpp:50-63)
+# the reference logs only phase clocks, main.cpp:50-63). Single-job
+# fills account for themselves via align._acct; shardband_fills counts
+# band-axis-sharded giant-pair fills.
 EXEC_STATS = {"launches": 0, "batched_jobs": 0, "single_jobs": 0,
-              "batched_cells": 0, "fill_seconds": 0.0}
+              "batched_cells": 0, "fill_seconds": 0.0,
+              "single_fills": 0, "shardband_fills": 0}
+
+# band-axis sharding threshold: a linear-chain pair whose left side has
+# at least this many sites (and no thin anchor band) is split over the
+# mesh's devices when the generation would otherwise leave them idle
+SHARDBAND_MIN_L = 1 << 16
 
 
 def reset_stats():
@@ -65,6 +73,14 @@ def make_jobs_mesh(n_devices: int | None = None):
     n = n_devices or len(devs)
     n = min(n, len(devs))
     return Mesh(np.array(devs[:n]), ("jobs",))
+
+
+def prepare_job(left, right, model, settings: AlignSettings,
+                dtype=np.float32):
+    """Per-job device input dict for the generic wavefront fill (kept
+    for __graft_entry__'s single-chip compile check)."""
+    from ..align.viterbi_jax import _prepare
+    return _prepare(left, right, model, settings, dtype)
 
 
 # ----------------------------------------------------------------------
@@ -112,6 +128,43 @@ def _run_single(job: PairJob, engine: str):
                       job.left_branch_length, job.right_branch_length,
                       engine=engine, band=job.band,
                       compute_consensus=job.compute_consensus)
+
+
+def _run_shardband(job: PairJob, mesh, dtype):
+    """Band-axis-sharded fill for one giant linear pair: the lane axis
+    of the sheared wavefront splits over the mesh with halo exchange
+    (viterbi_shardband; bit-identical to the 1-device kernel). This is
+    SURVEY §2.5's north star as a production dispatch: one pair too big
+    for one chip's turn rides all chips."""
+    import time
+    from ..align import _acct, _band_cells
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.viterbi_shardband import shardband_align_path
+    t0 = time.perf_counter()
+    settings = job.settings.for_reads() if job.is_reads_sequence \
+        else job.settings
+    # the executor mesh axis is `jobs`; rebuild over the same devices
+    # with the `band` axis the shard_map fill partitions on
+    from jax.sharding import Mesh
+    band_mesh = Mesh(mesh.devices.reshape(-1), ("band",))
+    path, end = shardband_align_path(
+        job.left, job.right, job.model, settings, band_mesh,
+        job.left_branch_length, job.right_branch_length,
+        band=job.band, dtype=dtype)
+    L = job.left.num_sites() - 1
+    R = job.right.num_sites() - 1
+    _acct(t0, _band_cells(job.band, L, R))
+    EXEC_STATS["shardband_fills"] += 1
+    EXEC_STATS["launches"] += 1
+    log_out("shard_map band-axis fill: %dx%d over %d devices"
+            % (L, R, int(np.prod(list(mesh.shape.values())))), 2)
+    anc = build_ancestral_graph(job.left, job.right, path, job.model,
+                                settings,
+                                job.left_branch_length,
+                                job.right_branch_length,
+                                job.is_reads_sequence,
+                                compute_consensus=job.compute_consensus)
+    return anc, end
 
 
 # ----------------------------------------------------------------------
@@ -234,6 +287,27 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
              fanin_buckets).setdefault(key, []).append(i)
 
     n_shards = _mesh_size(mesh)
+
+    # band-axis sharding: when the generation underfills the mesh and a
+    # linear pair is giant (no thin band — those already took the
+    # windowed kernel via 'banded'), split its lane axis over the
+    # devices instead of leaving them idle
+    if mesh is not None and n_shards > 1:
+        n_batchable = sum(len(v) for v in buckets.values()) + \
+            sum(len(v) for v in fanin_buckets.values())
+        if n_batchable < n_shards:
+            for key in list(buckets):
+                keep = []
+                for i in buckets[key]:
+                    if jobs[i].left.num_sites() - 1 >= SHARDBAND_MIN_L:
+                        results[i] = _run_shardband(jobs[i], mesh, dtype)
+                    else:
+                        keep.append(i)
+                if keep:
+                    buckets[key] = keep
+                else:
+                    del buckets[key]
+
     for (Lp, Rp), idxs in sorted(buckets.items()):
         if len(idxs) == 1 and n_shards == 1:
             # no batching win; single dispatch avoids the stack copy

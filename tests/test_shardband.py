@@ -128,3 +128,30 @@ def test_uneven_split_and_single_device(model):
         assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
             [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
         assert end.score == pytest.approx(oend.score, rel=1e-12)
+
+
+def test_executor_routes_giant_pairs_to_shardband(model, monkeypatch):
+    """Production dispatch (VERDICT r2 item 3): execute_pair_jobs must
+    issue a shard_map band-axis fill for a giant linear pair when the
+    mesh has more devices than the generation has jobs, with results
+    identical to the sequential path."""
+    from pagan2_tpu.parallel import executor
+
+    monkeypatch.setattr(executor, "SHARDBAND_MIN_L", 128)
+    g1, g2 = _pair(21, 180, 175)
+    s = AlignSettings()
+    mesh = executor.make_jobs_mesh(8)
+
+    executor.reset_stats()
+    jobs = [executor.PairJob(left=g1, right=g2, model=model, settings=s)]
+    res = executor.execute_pair_jobs(jobs, mesh=mesh, dtype=np.float64)
+    assert executor.EXEC_STATS["shardband_fills"] == 1, \
+        executor.EXEC_STATS
+    anc, end = res[0]
+
+    g1s, g2s = _pair(21, 180, 175)
+    from pagan2_tpu.align import align_pair
+    anc_s, end_s = align_pair(g1s, g2s, model, s, use_anchors=False)
+    assert end.score == pytest.approx(end_s.score, rel=1e-12)
+    assert [int(x) for x in anc.states[:anc.num_sites()]] == \
+        [int(x) for x in anc_s.states[:anc_s.num_sites()]]
