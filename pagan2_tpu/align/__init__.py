@@ -140,9 +140,12 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         from .viterbi_sheared import is_linear_chain
         if sampling:
             rng = rng or _RNG or np.random.default_rng()
+        from .fullprob import fanin_fullprob_eligible
+        linear_pair = is_linear_chain(left) and is_linear_chain(right)
         use_device = (engine in ("jax", "auto")
                       and not settings.pair_end_reads
-                      and is_linear_chain(left) and is_linear_chain(right))
+                      and (linear_pair or
+                           fanin_fullprob_eligible(left, right)))
         from ..io import plots
         import time as _time
         _t0 = _time.perf_counter()
@@ -157,14 +160,18 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             if plots.posterior_sink_active():
                 plots.add_posterior_figure_planes(planes)
             if settings.sample_path:
-                path, end = sample_path_planes(planes, settings, rng)
+                path, end = sample_path_planes(planes, settings, rng,
+                                               left_branch_length,
+                                               right_branch_length)
             else:
                 path, end, planes = fullprob_viterbi_path(
                     left, right, model, settings,
                     left_branch_length, right_branch_length, planes=planes)
 
             def draw_extra():
-                return sample_path_planes(planes, settings, rng)[0]
+                return sample_path_planes(planes, settings, rng,
+                                          left_branch_length,
+                                          right_branch_length)[0]
         else:
             aligner = PairAligner(left, right, model, settings,
                                   left_branch_length, right_branch_length)

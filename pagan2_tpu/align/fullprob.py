@@ -30,9 +30,12 @@ Semantics mirrored from the reference:
 - terminal/reduced gap penalties do NOT enter the probability passes
   (only the Viterbi scores), matching the oracle.
 
-Restricted to linear-chain graphs (every site one bwd edge from its
-predecessor); graph fan-in pairs fall back to the host oracle in
-align_pair.
+Linear-chain pairs take the two-diagonal-lookback cores below; graph
+pairs with bounded fan-in (454/homopolymer reads, ancestors with indel
+edges) take the ring-of-diagonals cores in the fan-in section, so
+--full-probability / --sample-path / posterior plots stay on device for
+every realistic progressive run. Only beyond-cap graphs (fan-in > 8 or
+edge offsets > 8) fall back to the host oracle in align_pair.
 """
 from __future__ import annotations
 
@@ -211,43 +214,60 @@ class FullProbPlanes:
         msp[:L, :R] = m.score[np.ix_(lstates, rstates)].astype(dtype)
         msp_sh = _shear(jnp.asarray(msp), D)
 
-        wl = np.ones(Lp, dtype)
-        for i in range(1, L):
-            wl[i] = float(left.edges.weight[left.bwd[i][0]])
-        wr = np.ones(R, dtype)
-        for j in range(1, R):
-            wr[j] = float(right.edges.weight[right.bwd[j][0]])
-        wr_rext = _rext(wr, R, Rp, Lp, dtype)
-
-        self.w_lstop = float(left.edges.weight[left.bwd[L][0]])
-        self.w_rstop = float(right.edges.weight[right.bwd[R][0]])
+        from .viterbi_sheared import is_linear_chain
+        self.fanin = not (is_linear_chain(left) and
+                          is_linear_chain(right))
 
         consts = jnp.asarray(np.array(
             [m.ext_prob, m.gap_close() * m.gap_open(),
              m.non_gap() * m.gap_open(), m.non_gap() * m.non_gap(),
              m.gap_close() * m.non_gap()], dtype))
-        seed = dtype(m.non_gap() * self.w_lstop * self.w_rstop)
 
-        fM, fX, fY, fcum = _fwd_fill(msp_sh, wr_rext, jnp.asarray(wl),
-                                     consts, jnp.int32(L), jnp.int32(R))
-        bM, bX, bY, bcum = _bwd_fill(msp_sh, wr_rext, jnp.asarray(wl),
-                                     consts, jnp.int32(L), jnp.int32(R),
-                                     jnp.asarray(seed))
+        gc = m.gap_close()
+        if not self.fanin:
+            wl = np.ones(Lp, dtype)
+            for i in range(1, L):
+                wl[i] = float(left.edges.weight[left.bwd[i][0]])
+            wr = np.ones(R, dtype)
+            for j in range(1, R):
+                wr[j] = float(right.edges.weight[right.bwd[j][0]])
+            wr_rext = _rext(wr, R, Rp, Lp, dtype)
+
+            self.w_lstop = float(left.edges.weight[left.bwd[L][0]])
+            self.w_rstop = float(right.edges.weight[right.bwd[R][0]])
+            seed = dtype(m.non_gap() * self.w_lstop * self.w_rstop)
+
+            fM, fX, fY, fcum = _fwd_fill(msp_sh, wr_rext,
+                                         jnp.asarray(wl), consts,
+                                         jnp.int32(L), jnp.int32(R))
+            bM, bX, bY, bcum = _bwd_fill(msp_sh, wr_rext,
+                                         jnp.asarray(wl), consts,
+                                         jnp.int32(L), jnp.int32(R),
+                                         jnp.asarray(seed))
+        else:
+            fM, fX, fY, fcum, bM, bX, bY, bcum = \
+                self._run_fanin(msp_sh, consts, dtype)
+
         self.f = (np.asarray(fM), np.asarray(fX), np.asarray(fY))
         self.fcum = np.asarray(fcum)
         self.b = (np.asarray(bM), np.asarray(bX), np.asarray(bY))
         self.bcum = np.asarray(bcum)
 
-        # fwd total at the end corner (iterate_bwd_edges_for_end_corner's
-        # fwd accumulation, viterbi_alignment.cpp:1440-1567): match via
-        # non_gap*wl*wr + both gap closes via gap_close (no weights)
-        d = L + R - 2
-        i = L - 1
-        gc = m.gap_close()
-        tot = (m.non_gap() * self.w_lstop * self.w_rstop *
-               self._fp(M_MAT, d, i) +
-               gc * self._fp(X_MAT, d, i) + gc * self._fp(Y_MAT, d, i))
-        self.log_total = (np.log(tot) + self.fcum[d]) if tot > 0 else NEG
+        if not self.fanin:
+            # fwd total at the end corner
+            # (iterate_bwd_edges_for_end_corner's fwd accumulation,
+            # viterbi_alignment.cpp:1440-1567): match via non_gap*wl*wr
+            # + both gap closes via gap_close (no weights)
+            d = L + R - 2
+            i = L - 1
+            tot = (m.non_gap() * self.w_lstop * self.w_rstop *
+                   self._fp(M_MAT, d, i) +
+                   gc * self._fp(X_MAT, d, i) +
+                   gc * self._fp(Y_MAT, d, i))
+            self.log_total = (np.log(tot) + self.fcum[d]) if tot > 0 \
+                else NEG
+        else:
+            self.log_total = self._fanin_corner_total()
         bt = self._bp(M_MAT, 0, 0)
         self.log_total_bwd = (np.log(bt) + self.bcum[0]) if bt > 0 else NEG
 
@@ -266,6 +286,104 @@ class FullProbPlanes:
         if dlog > tol:
             log_out("Problem in computation? log fwd: %g, log bwd: %g"
                     % (self.log_total, self.log_total_bwd), 1)
+
+    # -- fan-in graph path -------------------------------------------
+    def _run_fanin(self, msp_sh, consts, dtype):
+        """Prep + device fills for graph pairs with bounded fan-in."""
+        left, right, m = self.left, self.right, self.model
+        L, R, Lp = self.L, self.R, self.Lp
+        Rp = _bucket(R)
+
+        la = left.padded_bwd_arrays()
+        ra = right.padded_bwd_arrays()
+        self._la, self._ra = la, ra
+        KL = la["prev"].shape[1]
+        KR = ra["prev"].shape[1]
+
+        def side(arr, n, Np):
+            ar = np.arange(n)[:, None]
+            mask = arr["mask"][:n] & (arr["prev"][:n] >= 0) & \
+                (arr["prev"][:n] < ar)
+            offp = np.zeros((Np, arr["prev"].shape[1]), np.int32)
+            wp = np.zeros((Np, arr["prev"].shape[1]), dtype)
+            offp[:n] = np.where(mask, ar - arr["prev"][:n], 0)
+            wp[:n] = np.where(mask, arr["w"][:n], 0.0)
+            return offp, wp
+
+        loffp, lwp = side(la, L, Lp)
+        roffp, rwp = side(ra, R, R)
+        OLm = max(1, int(loffp.max()))
+        ORm = max(1, int(roffp.max()))
+        self._fanin_shape = (KL, KR, OLm, ORm)
+
+        # reversed right-side planes: value at slice(base - d')[i] is
+        # the column vector at j = d' - i; front padding absorbs the
+        # d+ORm lookahead of the bwd pass
+        F = max(8, ORm)
+        Ext = F + 2 * Lp + Rp
+        roff_rext = np.zeros((KR, Ext), np.int32)
+        rwp_rext = np.zeros((KR, Ext), dtype)
+        pos = F + Lp + Rp - 2 - np.arange(R)
+        roff_rext[:, pos] = roffp.T
+        rwp_rext[:, pos] = rwp.T
+
+        # bwd corner seeds over every stop-site bwd-edge pair
+        # (initialise_array_corner_bwd, viterbi_alignment.cpp:740-830)
+        lb = [(int(left.edges.start[e]), float(left.edges.weight[e]))
+              for e in left.bwd[L]]
+        rb = [(int(right.edges.start[e]), float(right.edges.weight[e]))
+              for e in right.bwd[R]]
+        corner_d = L + R - 2
+        Gs = 1
+        for li, _ in lb:
+            for ri, _ in rb:
+                Gs = max(Gs, corner_d - (li + ri) + 1)
+        seed_block = np.zeros((Gs, Lp), dtype)
+        seed_block[0, L - 1] = m.non_gap()
+        for li, wl in lb:
+            for ri, wr in rb:
+                seed_block[corner_d - (li + ri), li] = \
+                    m.non_gap() * wl * wr
+
+        fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
+        args = (msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
+                jnp.asarray(roff_rext), jnp.asarray(rwp_rext), consts,
+                jnp.int32(L), jnp.int32(R))
+        fM, fX, fY, fcum = fwd(*args)
+        bM, bX, bY, bcum = bwd(*args, jnp.asarray(seed_block))
+        return fM, fX, fY, fcum, bM, bX, bY, bcum
+
+    def _fanin_corner_total(self):
+        """Forward total via the end-corner enumeration
+        (viterbi_alignment.cpp:1440-1567). The reference re-visits the
+        right gap-close per (le != le0, re != re0) pair, so those terms
+        carry multiplicity len(lb); replicated for parity."""
+        left, right, m = self.left, self.right, self.model
+        L, R = self.L, self.R
+        ng, gc = m.non_gap(), m.gap_close()
+        lb = [(int(left.edges.start[e]), float(left.edges.weight[e]))
+              for e in left.bwd[L]]
+        rb = [(int(right.edges.start[e]), float(right.edges.weight[e]))
+              for e in right.bwd[R]]
+        terms = []   # (value in scaled units, log-scale)
+        for li, wl in lb:
+            for ri, wr in rb:
+                d = li + ri
+                terms.append((self._fp(M_MAT, d, li) * ng * wl * wr,
+                              self.fcum[d]))
+        for li, _wl in lb:
+            d = li + R - 1
+            terms.append((self._fp(X_MAT, d, li) * gc, self.fcum[d]))
+        for n, (ri, _wr) in enumerate(rb):
+            d = L - 1 + ri
+            mult = 1 if n == 0 else len(lb)
+            terms.append((mult * self._fp(Y_MAT, d, L - 1) * gc,
+                          self.fcum[d]))
+        mx = max((ls for v, ls in terms if v > 0), default=None)
+        if mx is None:
+            return NEG
+        tot = sum(v * np.exp(ls - mx) for v, ls in terms if v > 0)
+        return float(np.log(tot) + mx)
 
     # matrix-indexed scaled reads (mat in {X_MAT, Y_MAT, M_MAT};
     # planes are stored (M, X, Y))
@@ -351,13 +469,14 @@ def annotate_path(path, planes: FullProbPlanes, end: MatrixPtr):
         mp.fwd_score = planes.fwd(mat, i, j)
         mp.bwd_score = planes.bwd(mat, i, j)
         mp.full_score = planes.posterior(mat, i, j)
+        # follow the stored predecessor coordinates (equal to plain
+        # decrements on linear chains; graph edges may skip sites)
         if mat == M_MAT:
-            i -= 1
-            j -= 1
+            i, j = mp.x_ind, mp.y_ind
         elif mat == X_MAT:
-            i -= 1
+            i = mp.x_ind
         else:
-            j -= 1
+            j = mp.y_ind
         mat = mp.matrix
     return path
 
@@ -367,10 +486,18 @@ def fullprob_viterbi_path(left, right, model, settings: AlignSettings,
                           dtype=np.float64, band=None, planes=None):
     """Viterbi path via the sheared device kernel + posterior annotation
     from the probability planes. Returns (path, end, planes)."""
-    from .viterbi_sheared import sheared_align_path
-    path, end = sheared_align_path(left, right, model, settings,
-                                   left_branch_length, right_branch_length,
-                                   dtype=dtype, band=band)
+    from .viterbi_sheared import is_linear_chain, sheared_align_path
+    if is_linear_chain(left) and is_linear_chain(right):
+        path, end = sheared_align_path(left, right, model, settings,
+                                       left_branch_length,
+                                       right_branch_length,
+                                       dtype=dtype, band=band)
+    else:
+        from .viterbi_fanin import fanin_align_path
+        path, end = fanin_align_path(left, right, model, settings,
+                                     left_branch_length,
+                                     right_branch_length,
+                                     dtype=dtype, band=band)
     if planes is None:
         planes = FullProbPlanes(left, right, model, settings, dtype)
     annotate_path(path, planes, end)
@@ -393,11 +520,16 @@ def _draw(cands, rng):
 
 
 def sample_path_planes(planes: FullProbPlanes, settings: AlignSettings,
-                       rng):
-    """Draw one path proportional to forward probabilities. Linear
-    chains only (one bwd edge per site), so every candidate set shares a
-    single source diagonal and the per-diagonal scales cancel inside
-    each draw. Returns (path, end_ptr)."""
+                       rng, left_branch_length=0.0,
+                       right_branch_length=0.0):
+    """Draw one path proportional to forward probabilities
+    (sample_new_path, viterbi_alignment.cpp:1193-1322). Linear chains
+    take the fast single-diagonal candidate sets (per-diagonal scales
+    cancel inside each draw); fan-in graphs enumerate per-edge
+    candidates with explicit rescaling. Returns (path, end_ptr)."""
+    if getattr(planes, "fanin", False):
+        return _sample_fanin(planes, settings, rng,
+                             left_branch_length, right_branch_length)
     left, right = planes.left, planes.right
     m = planes.model
     L, R = planes.L, planes.R
@@ -492,6 +624,479 @@ def sample_path_planes(planes: FullProbPlanes, settings: AlignSettings,
         if i > 0 or j > 0:
             stack.append(PathPtr(mp, True))
         if i < 1 and j < 1:
+            break
+
+    return stack[::-1], end
+
+
+# ----------------------------------------------------------------------
+# fan-in graph cores: bounded per-site edge offsets (454/homopolymer
+# reads, ancestors with indel edges). Same scaled sheared scans, but
+# the two-diagonal lookback generalizes to a ring of the last G
+# diagonals and per-slot one-hot offset selection, mirroring
+# viterbi_fanin's Viterbi kernels in probability space:
+# - forward gap moves SUM over bwd edges with NO edge weights
+#   (oracle._score_gap_* fwd branches; viterbi_alignment.cpp:2151-2154);
+# - forward match moves sum over edge pairs with both weights
+#   (:2029-2112);
+# - the backward pass iterates each cell's FWD edges, expressed here as
+#   bwd-edge masks/weights of the *target* site shifted into the source
+#   lane (compute_bwd_full_score, viterbi_alignment.cpp:975-1027);
+# - bwd corner seeding covers every stop-site bwd-edge pair
+#   (initialise_array_corner_bwd, :740-830), injected per diagonal from
+#   a small host-built seed block.
+# ----------------------------------------------------------------------
+def fanin_fullprob_eligible(left, right) -> bool:
+    """Device full-prob eligibility for graph pairs (compile size grows
+    with KL*KR*OL*OR; beyond the caps the oracle's host loops remain)."""
+    from .viterbi_fanin import fanin_stats
+    KL, OL = fanin_stats(left)
+    KR, OR = fanin_stats(right)
+    return KL <= 8 and KR <= 8 and OL <= 8 and OR <= 8
+
+
+def _shift_r(v, o):
+    """Source lane i-o read at lane i (zeros roll in at the left)."""
+    return jnp.concatenate([jnp.zeros((o,), v.dtype), v[:-o]])
+
+
+def _shift_l(v, o):
+    """Target lane i+o read at lane i (zeros roll in at the right)."""
+    return jnp.concatenate([v[o:], jnp.zeros((o,), v.dtype)])
+
+
+def _build_fwd_fanin(KL, KR, OLm, ORm):
+    G = OLm + ORm
+
+    def core(msp_sh, loffp, lwp, roff_rext, rwp_rext, consts, Ldp, Rdp):
+        D, Lp = msp_sh.shape
+        f = msp_sh.dtype
+        ext_p, gcgo, nggo, ng2, gcng = [consts[k] for k in range(5)]
+        ii = jnp.arange(Lp)
+        zero = jnp.zeros((Lp,), f)
+        Ext = roff_rext.shape[1]
+        base = Ext - Lp - 2
+
+        lmask = [[loffp[:, k] == o for o in range(1, OLm + 1)]
+                 for k in range(KL)]
+        lwk = [lwp[:, k] for k in range(KL)]
+
+        M0 = zero.at[0].set(1.0)
+        ring0 = jnp.zeros((G, Lp), f)
+
+        def step(carry, xs):
+            rM, rX, rY, cum = carry        # ring[g] = diag d-1-g, in
+            d, msp = xs                    # units of cum (diag d-1)
+            start = base - d
+            roff = lax.dynamic_slice(roff_rext, (0, start), (KR, Lp))
+            rwp = lax.dynamic_slice(rwp_rext, (0, start), (KR, Lp))
+            jj = d - ii
+            valid = (jj >= 0) & (jj < Rdp) & (ii < Ldp)
+
+            gx = [ext_p * _shift_r(rX[o - 1], o)
+                  + gcgo * _shift_r(rY[o - 1], o)
+                  + nggo * _shift_r(rM[o - 1], o)
+                  for o in range(1, OLm + 1)]
+            X = zero
+            for k in range(KL):
+                acc = zero
+                for o in range(1, OLm + 1):
+                    acc = jnp.where(lmask[k][o - 1], gx[o - 1], acc)
+                X = X + acc
+
+            gy = [ext_p * rY[o - 1] + gcgo * rX[o - 1] + nggo * rM[o - 1]
+                  for o in range(1, ORm + 1)]
+            Y = zero
+            for k in range(KR):
+                acc = zero
+                for o in range(1, ORm + 1):
+                    acc = jnp.where(roff[k] == o, gy[o - 1], acc)
+                Y = Y + acc
+
+            gm = {}
+            for s in range(1, OLm + 1):
+                for r in range(1, ORm + 1):
+                    g = s + r
+                    gm[(s, r)] = (ng2 * _shift_r(rM[g - 1], s)
+                                  + gcng * _shift_r(rX[g - 1], s)
+                                  + gcng * _shift_r(rY[g - 1], s))
+            Msum = zero
+            for kl in range(KL):
+                for kr in range(KR):
+                    acc = zero
+                    for s in range(1, OLm + 1):
+                        for r in range(1, ORm + 1):
+                            mm = lmask[kl][s - 1] & (roff[kr] == r)
+                            acc = jnp.where(mm, gm[(s, r)], acc)
+                    Msum = Msum + acc * lwk[kl] * rwp[kr]
+            M = msp * Msum
+
+            X = jnp.where(valid & (ii > 0), X, 0.0)
+            Y = jnp.where(valid & (jj > 0), Y, 0.0)
+            M = jnp.where(valid & (ii > 0) & (jj > 0), M, 0.0)
+
+            sc = jnp.maximum(jnp.maximum(jnp.max(M), jnp.max(X)),
+                             jnp.max(Y))
+            sc = jnp.where(sc > 0, sc, jnp.array(1.0, f))
+            inv = 1.0 / sc
+            M, X, Y = M * inv, X * inv, Y * inv
+            rM = jnp.concatenate([M[None], rM[:-1] * inv])
+            rX = jnp.concatenate([X[None], rX[:-1] * inv])
+            rY = jnp.concatenate([Y[None], rY[:-1] * inv])
+            cum = cum + jnp.log(sc)
+            return (rM, rX, rY, cum), ((M, X, Y), cum)
+
+        ds = jnp.arange(1, D)
+        carry0 = (ring0.at[0].set(M0), ring0, ring0, jnp.array(0.0, f))
+        _, ((Ms, Xs, Ys), cums) = lax.scan(step, carry0,
+                                           (ds, msp_sh[1:]))
+        fM = jnp.concatenate([M0[None], Ms], axis=0)
+        fX = jnp.concatenate([jnp.zeros((1, Lp), f), Xs], axis=0)
+        fY = jnp.concatenate([jnp.zeros((1, Lp), f), Ys], axis=0)
+        fcum = jnp.concatenate([jnp.zeros((1,), f), cums])
+        return fM, fX, fY, fcum
+
+    return core
+
+
+def _build_bwd_fanin(KL, KR, OLm, ORm):
+    G = OLm + ORm
+
+    def core(msp_sh, loffp, lwp, roff_rext, rwp_rext, consts, Ldp, Rdp,
+             seed_block):
+        D, Lp = msp_sh.shape
+        f = msp_sh.dtype
+        ext_p, gcgo, nggo, ng2, gcng = [consts[k] for k in range(5)]
+        ii = jnp.arange(Lp)
+        zero = jnp.zeros((Lp,), f)
+        Ext = roff_rext.shape[1]
+        base = Ext - Lp - 2
+        corner_d = Ldp + Rdp - 2
+        Gs = seed_block.shape[0]
+
+        # target-site masks/weights shifted into the source lane:
+        # value[i] answers "does site i+o draw slot k from offset o"
+        lmaskL = [[_shift_l((loffp[:, k] == o).astype(f), o) > 0
+                   for o in range(1, OLm + 1)] for k in range(KL)]
+        lwL = [[_shift_l(lwp[:, k], o) for o in range(1, OLm + 1)]
+               for k in range(KL)]
+
+        ring0 = jnp.zeros((G, Lp), f)
+
+        def step(carry, xs):
+            rq, rX, rY, cum = carry        # ring[g] = diag d+1+g
+            d, msp = xs
+            jj = d - ii
+            valid = (jj >= 0) & (jj < Rdp) & (ii < Ldp)
+
+            # right-side slices at diagonals d+1 .. d+ORm (value at
+            # lane i = vec[(d+o) - i] = vec[j + o], the target site)
+            roff_o = []
+            rwp_o = []
+            for o in range(1, ORm + 1):
+                st = base - (d + o)
+                roff_o.append(lax.dynamic_slice(roff_rext, (0, st),
+                                                (KR, Lp)))
+                rwp_o.append(lax.dynamic_slice(rwp_rext, (0, st),
+                                               (KR, Lp)))
+
+            # A: sum over left fwd edges of bX at (i+o, j) [no weights]
+            xb = [_shift_l(rX[o - 1], o) for o in range(1, OLm + 1)]
+            A = zero
+            for k in range(KL):
+                acc = zero
+                for o in range(1, OLm + 1):
+                    acc = jnp.where(lmaskL[k][o - 1], xb[o - 1], acc)
+                A = A + acc
+            # B: sum over right fwd edges of bY at (i, j+o)
+            B = zero
+            for k in range(KR):
+                acc = zero
+                for o in range(1, ORm + 1):
+                    acc = jnp.where(roff_o[o - 1][k] == o, rY[o - 1],
+                                    acc)
+                B = B + acc
+            # T: match term over fwd edge pairs: bM*ms at the target
+            # cell (i+s, j+r) times both edge weights
+            qsh = {}
+            for s in range(1, OLm + 1):
+                for r in range(1, ORm + 1):
+                    if (s, s + r) not in qsh:
+                        qsh[(s, s + r)] = _shift_l(rq[s + r - 1], s)
+            T = zero
+            for kl in range(KL):
+                for kr in range(KR):
+                    acc = zero
+                    for s in range(1, OLm + 1):
+                        for r in range(1, ORm + 1):
+                            mm = lmaskL[kl][s - 1] & \
+                                (roff_o[r - 1][kr] == r)
+                            acc = jnp.where(
+                                mm,
+                                qsh[(s, s + r)] * lwL[kl][s - 1]
+                                * rwp_o[r - 1][kr],
+                                acc)
+                    T = T + acc
+
+            X = ext_p * A + gcgo * B + gcng * T
+            Y = ext_p * B + gcgo * A + gcng * T
+            M = nggo * A + nggo * B + ng2 * T
+
+            idx = corner_d - d
+            seed = jnp.where(
+                (idx >= 0) & (idx < Gs),
+                lax.dynamic_slice(seed_block,
+                                  (jnp.clip(idx, 0, Gs - 1), 0),
+                                  (1, Lp))[0],
+                zero)
+            # seeds are in true units; below the corner diagonal the
+            # running scale is already nonzero, so convert (the clip
+            # only guards exp overflow far past the seed window, where
+            # the mask above zeroes the row anyway)
+            clim = jnp.array(np.log(np.finfo(np.dtype(f).name).max) - 2.0, f)
+            M = M + seed * jnp.exp(-jnp.clip(cum, -clim, clim))
+            X = jnp.where(valid, X, 0.0)
+            Y = jnp.where(valid, Y, 0.0)
+            M = jnp.where(valid, M, 0.0)
+
+            sc = jnp.maximum(jnp.maximum(jnp.max(M), jnp.max(X)),
+                             jnp.max(Y))
+            sc = jnp.where(sc > 0, sc, jnp.array(1.0, f))
+            inv = 1.0 / sc
+            M, X, Y = M * inv, X * inv, Y * inv
+            q = M * msp
+            rq = jnp.concatenate([q[None], rq[:-1] * inv])
+            rX = jnp.concatenate([X[None], rX[:-1] * inv])
+            rY = jnp.concatenate([Y[None], rY[:-1] * inv])
+            cum = cum + jnp.log(sc)
+            return (rq, rX, rY, cum), ((M, X, Y), cum)
+
+        ds = jnp.arange(D - 1, -1, -1)
+        carry0 = (ring0, ring0, ring0, jnp.array(0.0, f))
+        _, ((Ms, Xs, Ys), cums) = lax.scan(step, carry0,
+                                           (ds, msp_sh[::-1]))
+        return Ms[::-1], Xs[::-1], Ys[::-1], cums[::-1]
+
+    return core
+
+
+_fanin_core_cache: dict = {}
+
+
+def _fanin_fills(KL, KR, OLm, ORm):
+    key = (KL, KR, OLm, ORm)
+    if key not in _fanin_core_cache:
+        _fanin_core_cache[key] = (
+            jax.jit(_build_fwd_fanin(KL, KR, OLm, ORm)),
+            jax.jit(_build_bwd_fanin(KL, KR, OLm, ORm)))
+    return _fanin_core_cache[key]
+
+
+def _sample_fanin(planes: FullProbPlanes, settings: AlignSettings, rng,
+                  left_branch_length=0.0, right_branch_length=0.0):
+    """Stochastic backtrack on fan-in graphs over the probability
+    planes: per-edge candidate sets in the oracle's exact enumeration
+    order (iterate_bwd_edges_for_sampled_{end_corner,match,gap},
+    viterbi_alignment.cpp:1664-2028). Candidates source different
+    diagonals, so each draw rescales by the max diagonal log-scale
+    (ratios equal the oracle's raw-probability ratios)."""
+    left, right, m = planes.left, planes.right, planes.model
+    L, R = planes.L, planes.R
+    ng, gc, go, ext = m.non_gap(), m.gap_close(), m.gap_open(), m.ext_prob
+    lw = left.edges.weight
+    rw = right.edges.weight
+    lstart = left.edges.start
+    rstart = right.edges.start
+
+    def fsc(mat, i, j):
+        d = i + j
+        return planes._fp(mat, d, i), float(planes.fcum[d])
+
+    def draw(cands):
+        mx = max((ls for v, ls, _ in cands if v > 0), default=0.0)
+        vals = [v * np.exp(ls - mx) if v > 0 else 0.0
+                for v, ls, _ in cands]
+        total = sum(vals)
+        r = total * rng.random()
+        acc = 0.0
+        for v, (_, _, mp) in zip(vals, cands):
+            acc += v
+            if acc >= r:
+                return mp
+        return cands[-1][2]
+
+    # -- end corner (iterate_bwd_edges_for_sampled_end_corner) --------
+    lb = left.bwd[L]
+    rb = right.bwd[R]
+    cands = []
+
+    def add_m(le, re):
+        li, ri = int(lstart[le]), int(rstart[re])
+        v, ls = fsc(M_MAT, li, ri)
+        mp = MatrixPtr(matrix=M_MAT, x_ind=li, y_ind=ri,
+                       x_edge_ind=le, y_edge_ind=re)
+        cands.append((v * ng * float(lw[le]) * float(rw[re]), ls, mp))
+
+    def add_close(e, is_x):
+        if is_x:
+            prev = int(lstart[e])
+            v, ls = fsc(X_MAT, prev, R - 1)
+            mp = MatrixPtr(matrix=X_MAT, x_ind=prev, y_ind=R - 1,
+                           x_edge_ind=e)
+            cands.append((v * gc * float(lw[e]), ls, mp))
+        else:
+            prev = int(rstart[e])
+            v, ls = fsc(Y_MAT, L - 1, prev)
+            mp = MatrixPtr(matrix=Y_MAT, x_ind=L - 1, y_ind=prev,
+                           y_edge_ind=e)
+            cands.append((v * gc * float(rw[e]), ls, mp))
+
+    le0, re0 = lb[0], rb[0]
+    add_m(le0, re0)
+    add_close(le0, True)
+    add_close(re0, False)
+    for re in rb[1:]:
+        add_m(le0, re)
+        add_close(re, False)
+    for le in lb[1:]:
+        add_m(le, re0)
+        add_close(le, True)
+        for re in rb[1:]:
+            add_m(le, re)
+            add_close(re, False)
+    end = draw(cands).copy()
+    end.bwd_score = 1.0
+    end.full_score = 1.0
+    end.fwd_score = planes.total_fwd_score()
+    if end.x_edge_ind >= 0:
+        left.edges.used[end.x_edge_ind] = True
+    if end.y_edge_ind >= 0:
+        right.edges.used[end.y_edge_ind] = True
+
+    # -- per-cell samplers --------------------------------------------
+    def sampled_match(i, j):
+        ms = float(m.score[left.states[i], right.states[j]])
+        m_match = ng * ng * ms
+        z_match = gc * ng * ms
+        cs = []
+
+        def add(le, re):
+            li, ri = int(lstart[le]), int(rstart[re])
+            w = float(lw[le]) * float(rw[re])
+            for mat_id, fac in ((M_MAT, m_match), (X_MAT, z_match),
+                                (Y_MAT, z_match)):
+                v, ls = fsc(mat_id, li, ri)
+                mp = MatrixPtr(matrix=mat_id, x_ind=li, y_ind=ri,
+                               x_edge_ind=le, y_edge_ind=re)
+                cs.append((v * fac * w, ls, mp))
+
+        lbi = left.bwd[i]
+        rbj = right.bwd[j]
+        e0, f0 = lbi[0], rbj[0]
+        add(e0, f0)
+        for re in rbj[1:]:
+            add(e0, re)
+        for le in lbi[1:]:
+            add(le, f0)
+            for re in rbj[1:]:
+                add(le, re)
+        sp = draw(cs).copy()
+        sp.fwd_score = planes.fwd(M_MAT, i, j)
+        sp.bwd_score = planes.bwd(M_MAT, i, j)
+        sp.full_score = planes.posterior(M_MAT, i, j)
+        return sp
+
+    def sampled_gap(i, j, is_x):
+        cs = []
+        if is_x:
+            seq, w, site = left, lw, i
+            zmat, wmat = X_MAT, Y_MAT
+        else:
+            seq, w, site = right, rw, j
+            zmat, wmat = Y_MAT, X_MAT
+        for e in seq.bwd[site]:
+            prev = int(seq.edges.start[e])
+            we = float(w[e])
+
+            def mk(v, ls, mat_id):
+                mp = MatrixPtr(matrix=mat_id)
+                if is_x:
+                    mp.x_ind = prev
+                    mp.x_edge_ind = e
+                else:
+                    mp.y_ind = prev
+                    mp.y_edge_ind = e
+                cs.append((v, ls, mp))
+
+            if is_x:
+                vz, lz = fsc(X_MAT, prev, j)
+                vw, lwv = fsc(Y_MAT, prev, j)
+                vm, lm = fsc(M_MAT, prev, j)
+            else:
+                vz, lz = fsc(Y_MAT, i, prev)
+                vw, lwv = fsc(X_MAT, i, prev)
+                vm, lm = fsc(M_MAT, i, prev)
+            mk(vz * ext * we, lz, zmat)
+            mk(vw * gc * go * we, lwv, wmat)
+            mk(vm * ng * go * we, lm, M_MAT)
+        sp = draw(cs).copy()
+        which = X_MAT if is_x else Y_MAT
+        sp.fwd_score = planes.fwd(which, i, j)
+        sp.bwd_score = planes.bwd(which, i, j)
+        sp.full_score = planes.posterior(which, i, j)
+        if is_x:
+            sp.y_ind = j
+        else:
+            sp.x_ind = i
+        return sp
+
+    # -- walk (sample_new_path, viterbi_alignment.cpp:1193-1322) ------
+    stack: list[PathPtr] = []
+    ij = [L - 1, R - 1]
+    vit_mat = end.matrix
+
+    def push_gap(i, j, matrix, bl):
+        mp = MatrixPtr(score=-1, x_ind=i, y_ind=j, matrix=matrix)
+        mp.fwd_score = planes.fwd(matrix, i, j)
+        mp.bwd_score = planes.bwd(matrix, i, j)
+        mp.full_score = planes.posterior(matrix, i, j)
+        stack.append(PathPtr(mp, False, bl, 1))
+
+    def insert_preexisting_gap(x_ind, y_ind):
+        while x_ind < ij[0]:
+            push_gap(ij[0] - 1, ij[1], X_MAT, left_branch_length)
+            ij[0] -= 1
+        while y_ind < ij[1]:
+            push_gap(ij[0], ij[1] - 1, Y_MAT, right_branch_length)
+            ij[1] -= 1
+
+    def insert_pp(pp):
+        if ij[0] > 0 or ij[1] > 0:
+            stack.append(pp)
+
+    insert_preexisting_gap(end.x_ind, end.y_ind)
+    insert_pp(PathPtr(end, True))
+
+    while True:
+        i, j = ij
+        if vit_mat == M_MAT:
+            bwd_p = sampled_match(i, j)
+            left.edges.used[bwd_p.x_edge_ind] = True
+            right.edges.used[bwd_p.y_edge_ind] = True
+            ij[0] -= 1
+            ij[1] -= 1
+        elif vit_mat == X_MAT:
+            bwd_p = sampled_gap(i, j, True)
+            left.edges.used[bwd_p.x_edge_ind] = True
+            ij[0] -= 1
+        else:
+            bwd_p = sampled_gap(i, j, False)
+            right.edges.used[bwd_p.y_edge_ind] = True
+            ij[1] -= 1
+        vit_mat = bwd_p.matrix
+        insert_preexisting_gap(bwd_p.x_ind, bwd_p.y_ind)
+        insert_pp(PathPtr(bwd_p, True))
+        if ij[0] < 1 and ij[1] < 1:
             break
 
     return stack[::-1], end
