@@ -246,38 +246,26 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                         left_branch_length, right_branch_length, band=band)
                     _acct(_t0, _band_cells(band, L, R))
             elif ok and not settings.pair_end_reads:
-                # graph fan-in: ring-buffer sheared kernel when the
-                # edge offsets are bounded (454/homopolymer reads,
-                # ancestors with indels), generic gather kernel beyond
-                # the caps
-                from .viterbi_fanin import (fanin_stats, fanin_align_path,
-                                            K_CAP, G_CAP)
-                KL, OL = fanin_stats(left)
-                KR, OR = fanin_stats(right)
-                if KL <= K_CAP and KR <= K_CAP and OL + OR <= G_CAP:
-                    if band is None and use_anchors and \
-                            min(left.num_sites(), right.num_sites()) > \
-                            anchor_min_sites:
-                        band, skipped = plan_band(left, right, settings)
-                        if skipped:
-                            return None, None
-                    import time as _time
-                    _t0 = _time.perf_counter()
-                    path, end = fanin_align_path(
-                        left, right, model, settings,
-                        left_branch_length, right_branch_length, band=band)
-                    _acct(_t0, _band_cells(band, left.num_sites() - 1,
-                                           right.num_sites() - 1))
-                else:
-                    from .viterbi_jax import jax_align_path
-                    import time as _time
-                    _t0 = _time.perf_counter()
-                    path, end = jax_align_path(left, right, model,
-                                               settings,
-                                               left_branch_length,
-                                               right_branch_length)
-                    _acct(_t0, (left.num_sites() - 1) *
-                          (right.num_sites() - 1))
+                # graph fan-in: ring-of-diagonals sheared kernels for
+                # ANY fan-in (454/homopolymer reads, ancestors with
+                # indels, deep homopolymer runs beyond the one-hot
+                # caps) — banded/windowed like the reference tunnels
+                # every pair (tunnel_matrix.h:45-152); the dense-plane
+                # viterbi_jax path is no longer used for graphs
+                from .viterbi_fanin import fanin_align_path
+                if band is None and use_anchors and \
+                        min(left.num_sites(), right.num_sites()) > \
+                        anchor_min_sites:
+                    band, skipped = plan_band(left, right, settings)
+                    if skipped:
+                        return None, None
+                import time as _time
+                _t0 = _time.perf_counter()
+                path, end = fanin_align_path(
+                    left, right, model, settings,
+                    left_branch_length, right_branch_length, band=band)
+                _acct(_t0, _band_cells(band, left.num_sites() - 1,
+                                       right.num_sites() - 1))
             else:
                 from .viterbi_jax import jax_align_path
                 import time as _time

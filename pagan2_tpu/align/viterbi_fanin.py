@@ -19,10 +19,11 @@ ext, double, open, edges in bwd-list order, viterbi_alignment.cpp:
 :1353-1436) with strict-greater first-wins updates, so tracebacks are
 identical to the host oracle.
 
-Memory: one packed uint32 backpointer per in-band cell (bm, bx, by 8
-bits each — wide enough that K_CAP=8 fan-in can never overflow a
-field) + O(G x W) ring state; match scores come from a per-row gather
-of the left log-score table (no O(L*R) table anywhere).
+Memory: one packed uint32 backpointer per in-band cell (bm 16 bits,
+bx/by 8 bits each — wide enough that even beyond-cap graphs, K up to
+147, never overflow a field) + O(G x W) ring state; match scores come
+from a per-row gather of the left log-score table (no O(L*R) table
+anywhere).
 """
 from __future__ import annotations
 
@@ -38,7 +39,7 @@ from .oracle import MatrixPtr, PathPtr
 from .viterbi_sheared import _bucket
 
 NEG = -np.inf
-_BM_NONE = 255     # 8-bit fields: bm | bx<<8 | by<<16
+_BM_NONE = 65535   # packed uint32 layout: bm | bx<<16 | by<<24
 _BX_NONE = 255
 _BY_NONE = 255
 
@@ -276,8 +277,8 @@ def _build_core_onehot(KL: int, KR: int, OLm: int, ORm: int, G: int,
             M = jnp.where(seed, jnp.zeros((), f), M)
 
             bp = (jnp.where(okm, codeM, _BM_NONE) +
-                  (jnp.where(okx, codeX, _BX_NONE) << 8) +
-                  (jnp.where(oky, codeY, _BY_NONE) << 16)
+                  (jnp.where(okx, codeX, _BX_NONE) << 16) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 24)
                   ).astype(jnp.uint32)
 
             # roll the ring: new diagonal becomes plane 0
@@ -304,7 +305,14 @@ def _build_core_onehot(KL: int, KR: int, OLm: int, ORm: int, G: int,
 
 
 def _build_core(KL: int, KR: int, G: int, W: int):
-    """Fill core for static (fan-in KL/KR, ring depth G, window W)."""
+    """Generic gather fill core for arbitrary fan-in/offsets (beyond
+    the one-hot caps: deep homopolymer runs, heavily merged sampled
+    graphs). All candidates are stacked in the reference's evaluation
+    order and reduced with max + argmax — argmax returns the FIRST
+    occurrence of the maximum, which is exactly the strict-greater
+    first-wins rule — so a handful of large gathers replaces a
+    per-candidate gather chain (whose HLO count made K=15 compiles take
+    >10 minutes)."""
 
     def core(TL, loff, llw, lopen, gexti_ext, upper_ext, lower_ext,
              rs_rext, gjx_rext, roff_rext, rlw_rext, ropen_rext,
@@ -317,16 +325,15 @@ def _build_core(KL: int, KR: int, G: int, W: int):
         RextOff = Ext - W - 1
 
         tt = jnp.arange(W)[None, :]                  # (1, W)
-        lngb = lng[:, None]
-        lgob = lgo[:, None]
         Ldpb = Ldp[:, None]
         Rdpb = Rdp[:, None]
         cornerd = Ldpb + Rdpb - 2
+        lng3 = lng[:, None, None]
+        lgo3 = lgo[:, None, None]
+        lng4 = lng[:, None, None, None]
 
         ring0 = jnp.full((B, G * W), neg, f)
         snap0 = jnp.full((B, G, W), neg, f)
-        final_none = jnp.full((B, W), _BM_NONE + (_BX_NONE << 8) +
-                              (_BY_NONE << 16), jnp.uint32)
 
         def win_rows(vec_ext, ilo):
             return lax.dynamic_slice_in_dim(vec_ext, ilo, W, axis=1)
@@ -373,90 +380,67 @@ def _build_core(KL: int, KR: int, G: int, W: int):
             ms = jnp.take_along_axis(
                 TLw, jnp.clip(rs, 0, nf - 1)[:, :, None], axis=2)[:, :, 0]
 
-            def gather(ring, o_tot, lane_shift):
-                """Source values at ring diagonal d-o_tot, global row
-                iig - lane_shift. Returns (vals, ok)."""
-                src = tt - lane_shift + jnp.take(ofs, o_tot)
-                ok = (o_tot > 0) & (o_tot <= G) & \
-                    (tt - lane_shift + jnp.take(ofs, o_tot) -
-                     (o_tot - 1) * W >= 0) & \
-                    (tt - lane_shift + jnp.take(ofs, o_tot) -
-                     (o_tot - 1) * W < W)
-                vals = jnp.take_along_axis(
-                    ring, jnp.clip(src, 0, G * W - 1), axis=1)
-                return vals, ok
+            def srcidx(o, shift):
+                """Flat ring index + validity for sources at ring
+                diagonal d-o, global row iig - shift (broadcasts)."""
+                s_ = tt - shift + jnp.take(ofs, jnp.clip(o, 0, G))
+                rel = s_ - (jnp.clip(o, 1, G) - 1) * W
+                ok = (o > 0) & (o <= G) & (rel >= 0) & (rel < W)
+                return jnp.clip(s_, 0, G * W - 1), ok
 
-            def upd(best, code, cand, c):
-                take = cand > best
-                return (jnp.where(take, cand, best),
-                        jnp.where(take, c, code))
+            def pick(ring, idx):
+                br = jnp.broadcast_to(ring[:, None, :], idx.shape[:-1]
+                                      + (G * W,))
+                return jnp.take_along_axis(br, idx, axis=-1)
 
-            # ---- X: gap consuming left site i (per edge: ext, double,
-            # open; viterbi_alignment.cpp:1328-1349) ----
-            bestX = jnp.full((B, W), neg, f)
-            codeX = jnp.full((B, W), _BX_NONE, jnp.int32)
-            for k in range(KL):
-                o = loffw[:, :, k]
-                gx, okg = gather(rX, o, o)
-                gy, _ = gather(rY, o, o)
-                gm, _ = gather(rM, o, o)
-                ok = okg
-                bestX, codeX = upd(bestX, codeX,
-                                   jnp.where(ok, gx + gjx, neg), k * 3)
-                bestX, codeX = upd(bestX, codeX,
-                                   jnp.where(ok, gy + lgob, neg),
-                                   k * 3 + 1)
-                bestX, codeX = upd(
-                    bestX, codeX,
-                    jnp.where(ok, gm + lngb + lopenw[:, :, k], neg),
-                    k * 3 + 2)
+            # ---- X: gap consuming left site i; candidate order per
+            # edge slot: ext, double, open (codes k*3+move;
+            # viterbi_alignment.cpp:1328-1349) ----
+            oX = jnp.moveaxis(loffw, 2, 1)           # (B, KL, W)
+            idxX, okX = srcidx(oX, oX)
+            candX = jnp.stack(
+                [pick(rX, idxX) + gjx[:, None, :],
+                 pick(rY, idxX) + lgo3,
+                 pick(rM, idxX) + lng3 + jnp.moveaxis(lopenw, 2, 1)],
+                axis=2)                              # (B, KL, 3, W)
+            candX = jnp.where(okX[:, :, None, :], candX, neg)
+            candX = candX.reshape(B, KL * 3, W)
+            bestX = jnp.max(candX, axis=1)
+            codeX = jnp.argmax(candX, axis=1).astype(jnp.int32)
 
             # ---- Y: gap consuming right site j ----
-            bestY = jnp.full((B, W), neg, f)
-            codeY = jnp.full((B, W), _BY_NONE, jnp.int32)
-            for k in range(KR):
-                o = roff[:, k, :]
-                gy, okg = gather(rY, o, 0)
-                gx, _ = gather(rX, o, 0)
-                gm, _ = gather(rM, o, 0)
-                ok = okg
-                bestY, codeY = upd(bestY, codeY,
-                                   jnp.where(ok, gy + gexti, neg), k * 3)
-                bestY, codeY = upd(bestY, codeY,
-                                   jnp.where(ok, gx + lgob, neg),
-                                   k * 3 + 1)
-                bestY, codeY = upd(
-                    bestY, codeY,
-                    jnp.where(ok, gm + lngb + ropen[:, k, :], neg),
-                    k * 3 + 2)
+            idxY, okY = srcidx(roff, 0)
+            candY = jnp.stack(
+                [pick(rY, idxY) + gexti[:, None, :],
+                 pick(rX, idxY) + lgo3,
+                 pick(rM, idxY) + lng3 + ropen],
+                axis=2)                              # (B, KR, 3, W)
+            candY = jnp.where(okY[:, :, None, :], candY, neg)
+            candY = candY.reshape(B, KR * 3, W)
+            bestY = jnp.max(candY, axis=1)
+            codeY = jnp.argmax(candY, axis=1).astype(jnp.int32)
 
-            # ---- M: match consuming both (left edge outer, right edge
-            # inner; per pair m, x, y; viterbi_alignment.cpp:1353-1436)
-            bestM = jnp.full((B, W), neg, f)
-            codeM = jnp.full((B, W), _BM_NONE, jnp.int32)
-            mbase = lngb + ms
-            for kl in range(KL):
-                ol = loffw[:, :, kl]
-                lw = llww[:, :, kl]
-                for kr in range(KR):
-                    orr = roff[:, kr, :]
-                    o = ol + orr
-                    okp = (ol > 0) & (orr > 0)
-                    gm, okg = gather(rM, o, ol)
-                    gx, _ = gather(rX, o, ol)
-                    gy, _ = gather(rY, o, ol)
-                    ok = okp & okg
-                    base = mbase + lw + rlw[:, kr, :]
-                    c0 = (kl * KR + kr) * 3
-                    bestM, codeM = upd(bestM, codeM,
-                                       jnp.where(ok, gm + lngb + base,
-                                                 neg), c0)
-                    bestM, codeM = upd(bestM, codeM,
-                                       jnp.where(ok, gx + base, neg),
-                                       c0 + 1)
-                    bestM, codeM = upd(bestM, codeM,
-                                       jnp.where(ok, gy + base, neg),
-                                       c0 + 2)
+            # ---- M: match consuming both; pair order row-major (left
+            # edge outer), per pair m, x, y (codes (kl*KR+kr)*3+move;
+            # viterbi_alignment.cpp:1353-1436) ----
+            olM = jnp.moveaxis(loffw, 2, 1)[:, :, None, :]  # (B,KL,1,W)
+            orM = roff[:, None, :, :]                       # (B,1,KR,W)
+            oM = olM + orM
+            idxM, okg = srcidx(oM, olM)
+            okM = (olM > 0) & (orM > 0) & okg
+            mbase = lng[:, None] + ms                       # (B, W)
+            base = (mbase[:, None, None, :]
+                    + jnp.moveaxis(llww, 2, 1)[:, :, None, :]
+                    + rlw[:, None, :, :])
+            candM = jnp.stack(
+                [pick(rM, idxM) + lng4 + base,
+                 pick(rX, idxM) + base,
+                 pick(rY, idxM) + base],
+                axis=3)                              # (B, KL, KR, 3, W)
+            candM = jnp.where(okM[:, :, :, None, :], candM, neg)
+            candM = candM.reshape(B, KL * KR * 3, W)
+            bestM = jnp.max(candM, axis=1)
+            codeM = jnp.argmax(candM, axis=1).astype(jnp.int32)
 
             okx = valid & (iig > 0) & jnp.isfinite(bestX)
             oky = valid & (jj > 0) & jnp.isfinite(bestY)
@@ -470,8 +454,8 @@ def _build_core(KL: int, KR: int, G: int, W: int):
             M = jnp.where(seed, jnp.zeros((), f), M)
 
             bp = (jnp.where(okm, codeM, _BM_NONE) +
-                  (jnp.where(okx, codeX, _BX_NONE) << 8) +
-                  (jnp.where(oky, codeY, _BY_NONE) << 16)
+                  (jnp.where(okx, codeX, _BX_NONE) << 16) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 24)
                   ).astype(jnp.uint32)
 
             # roll the ring: new diagonal becomes index 0
@@ -698,7 +682,7 @@ class _FaninCells:
         d = i + j
         t = i - int(self.ilo[d])
         if t < 0 or t >= self.W or d >= self.bp.shape[0]:
-            return _BM_NONE + (_BX_NONE << 8) + (_BY_NONE << 16)
+            return _BM_NONE + (_BX_NONE << 16) + (_BY_NONE << 24)
         return int(self.bp[d, t])
 
     def cell(self, which, i, j) -> MatrixPtr:
@@ -706,7 +690,7 @@ class _FaninCells:
         inp = self.inp
         mp = MatrixPtr()
         if which == M_MAT:
-            c = code & 255
+            c = code & 65535
             if c == _BM_NONE:
                 return mp
             pair, move = divmod(c, 3)
@@ -717,7 +701,7 @@ class _FaninCells:
             mp.x_edge_ind = int(inp["leid"][i, kl])
             mp.y_edge_ind = int(inp["reid"][j, kr])
         elif which == X_MAT:
-            c = (code >> 8) & 255
+            c = (code >> 16) & 255
             if c == _BX_NONE:
                 mp.y_ind = j
                 return mp
@@ -727,7 +711,7 @@ class _FaninCells:
             mp.y_ind = j
             mp.x_edge_ind = int(inp["leid"][i, k])
         else:
-            c = (code >> 16) & 255
+            c = (code >> 24) & 255
             if c == _BY_NONE:
                 mp.x_ind = i
                 return mp
@@ -763,10 +747,12 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
                      dtype=np.float64, band=None):
     """Single-pair device fill + host backtrack for fan-in graphs,
     windowed when an anchor band is given. Falls back to the full
-    matrix if the banded DP dead-ends (viterbi_alignment.cpp:298-317)."""
+    matrix if the banded DP dead-ends (viterbi_alignment.cpp:298-317).
+    Handles ANY fan-in: bounded-offset graphs take the one-hot cores
+    (and the pallas kernel on accelerators); beyond-cap graphs (deep
+    homopolymer runs, K > 8) take the generic gather core — still
+    windowed/banded, O(G x W) ring memory, never a dense plane."""
     inp = prepare_fanin(left, right, model, settings, dtype)
-    if not fanin_device_eligible(inp):
-        raise ValueError("graph exceeds fan-in kernel caps")
     L, R = inp["L"], inp["R"]
     KL, KR = inp["KL"], inp["KR"]
     G = _g_bucket(inp["OL"] + inp["OR"])

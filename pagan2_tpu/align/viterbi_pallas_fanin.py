@@ -31,8 +31,9 @@ the grid and the per-step working set never leaves the chip:
   offset caps stay on the scan core). Open penalties and gap
   extensions are reconstructed from index compares against scalars;
 - match scores stream pre-folded with log-non-gap (4 B/cell); packed
-  backpointer codes (bm | bx<<8 | by<<16, the scan cores' exact 8-bit
-  fields — max 2^24-1, exactly representable in f32) stream out;
+  backpointer codes (8-bit fields bm | bx<<8 | by<<16 — max 2^24-1,
+  exactly representable in f32) stream out and are converted to the
+  scan cores' wider uint32 layout on readback;
 - the ring snapshot at each job's corner diagonal is captured to
   dedicated outputs (predicated off outside the corner blocks) for the
   host end-corner resolution (_end_corner_arrays needs scores of the
@@ -50,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .viterbi_sheared import NEG, _shear_np
 from .viterbi_fanin import _BM_NONE, _BX_NONE, _BY_NONE
+
+# kernel-internal packed-code fields are 8 bits each (codes stream out
+# as exact f32 integers <= 2^24-1); pallas_fanin_run converts to the
+# scan cores' wider uint32 layout (bm 16 | bx<<16 | by<<24)
+_P_NONE = 255
 
 # set to True to run the kernel in interpreter mode (CPU tests)
 INTERPRET = False
@@ -90,9 +96,10 @@ def pallas_fanin_eligible(inputs, B, Lp) -> bool:
     OR = max(i["OR"] for i in inputs)
     if KR > K_CAP_R or OL > OFF_CAP or OR > OFF_CAP:
         return False
-    # packed-code field widths (8 bits each, NONE sentinel reserved)
-    if KL * KR * 3 >= _BM_NONE or KL * 3 >= _BX_NONE or \
-            KR * 3 >= _BY_NONE:
+    # kernel-internal packed-code field widths (8 bits each, NONE
+    # sentinel reserved; beyond -> scan cores' 16-bit bm layout)
+    if KL * KR * 3 >= _P_NONE or KL * 3 >= _P_NONE or \
+            KR * 3 >= _P_NONE:
         return False
     if any(len(np.unique(i["rlw"][i["roff"] > 0])) > P_CAP
            for i in inputs):
@@ -216,7 +223,7 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         # open; viterbi_alignment.cpp:1328-1349) ----
         gjx = jnp.where((jt == 0) | (jt == Rdp - 1), gend, gext)
         bestX = jnp.full((B, Lp), neg, f)
-        codeX = jnp.full((B, Lp), float(_BX_NONE), f)
+        codeX = jnp.full((B, Lp), float(_P_NONE), f)
         for k in range(KL):
             if spec:
                 v = VL[k]
@@ -241,7 +248,7 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         # ---- Y: gap consuming right site j (no lane shift) ----
         gexti = jnp.where((lane == 0) | (lane == Ldp - 1), gend, gext)
         bestY = jnp.full((B, Lp), neg, f)
-        codeY = jnp.full((B, Lp), float(_BY_NONE), f)
+        codeY = jnp.full((B, Lp), float(_P_NONE), f)
         for k in range(KR):
             if spec:
                 r = VR[k]
@@ -284,7 +291,7 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
             SY[(s, q)] = pltpu.roll(pY[q - 1], s, axis=1)
         mbase = lng + ms_ref[t]
         bestM = jnp.full((B, Lp), neg, f)
-        codeM = jnp.full((B, Lp), float(_BM_NONE), f)
+        codeM = jnp.full((B, Lp), float(_P_NONE), f)
         for kl in range(KL):
             for kr in range(KR):
                 if spec:
@@ -318,9 +325,9 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         X = jnp.where(okx, bestX, neg)
         Y = jnp.where(oky, bestY, neg)
         M = jnp.where(okm, bestM, neg)
-        codeX = jnp.where(okx, codeX, float(_BX_NONE))
-        codeY = jnp.where(oky, codeY, float(_BY_NONE))
-        codeM = jnp.where(okm, codeM, float(_BM_NONE))
+        codeX = jnp.where(okx, codeX, float(_P_NONE))
+        codeY = jnp.where(oky, codeY, float(_P_NONE))
+        codeM = jnp.where(okm, codeM, float(_P_NONE))
 
         bp_ref[t] = codeM + codeX * 256.0 + codeY * 65536.0
 
@@ -534,8 +541,13 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
         KL=KL, KR=KR, OLm=meta["OLm"], ORm=meta["ORm"], P=meta["P"],
         Bc=Bc, VL=meta["VL"], VR=meta["VR"])
     Dn = meta["Dn"]
-    none_code = _BM_NONE + (_BX_NONE << 8) + (_BY_NONE << 16)
-    bpu = np.asarray(bp[:Dn]).astype(np.uint32)
+    # convert the kernel's 8/8/8 packing to the scan cores' 16/8/8
+    # uint32 layout (bm NONE 255 -> 65535)
+    raw = np.asarray(bp[:Dn]).astype(np.uint32)
+    bm = raw & 255
+    bm = np.where(bm == _P_NONE, np.uint32(_BM_NONE), bm)
+    bpu = bm | (((raw >> 8) & 255) << 16) | (((raw >> 16) & 255) << 24)
+    none_code = _BM_NONE + (_BX_NONE << 16) + (_BY_NONE << 24)
     out = np.full((B, Dn + 1, bpu.shape[2]), none_code, np.uint32)
     out[:, 1:, :] = np.swapaxes(bpu[:, :B, :], 0, 1)
     snaps = tuple(np.swapaxes(np.asarray(s)[:, :B, :], 0, 1)

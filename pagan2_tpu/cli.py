@@ -470,6 +470,20 @@ def write_entries(entries, out, fmt, data_type):
         write_paml(entries, out + ".phy")
 
 
+def _make_mesh(args):
+    """Jobs mesh from --devices/--threads (None on a single device)."""
+    n_dev = args.devices or args.threads
+    if n_dev and n_dev > 1 and args.engine != "oracle":
+        try:
+            import jax
+            if len(jax.devices()) > 1:
+                from .parallel.executor import make_jobs_mesh
+                return make_jobs_mesh(n_dev)
+        except ImportError:
+            pass
+    return None
+
+
 def write_outputs(args, tree, alignment, data_type):
     from .io.writers import write_xml, write_graph_file
 
@@ -852,7 +866,8 @@ def main(argv=None) -> int:
                 score_ungapped_limit=args.score_ungapped_limit,
                 assembly=args.assembly)
             outcome = place_queries(res, queries, data_type, cfg,
-                                    model_factory=mf, settings=settings)
+                                    model_factory=mf, settings=settings,
+                                    mesh=_make_mesh(args))
             res = outcome.result
             if args.output_discarded_queries and outcome.discarded:
                 from .io.fasta import write_fasta
@@ -903,16 +918,7 @@ def main(argv=None) -> int:
         scale=args.scale_branches, fixed=args.fixed_branches,
         real_branches=args.real_branches)
 
-    mesh = None
-    n_dev = args.devices or args.threads
-    if n_dev and n_dev > 1 and args.engine != "oracle":
-        try:
-            import jax
-            if len(jax.devices()) > 1:
-                from .parallel.executor import make_jobs_mesh
-                mesh = make_jobs_mesh(n_dev)
-        except ImportError:
-            pass
+    mesh = _make_mesh(args)
 
     from .pipeline import align_progressive
     res = align_progressive(

@@ -168,20 +168,12 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
             log_progress("aligning read %s (%d/%d)"
                          % (read.name, ri + 1, len(read_list)), 0)
 
-            def try_strand(rc):
-                rnode = leaf(read, turn_rc=rc)
-                temp = TreeNode(name=f"#{count}#", children=[global_root,
-                                                             rnode])
-                temp.left.dist = 0.001
-                anc, _ = align_pair(global_root.graph, rnode.graph, model,
-                                    settings,
-                                    left_branch_length=0.001,
-                                    right_branch_length=config.query_distance,
-                                    is_reads_sequence=True,
-                                    engine=config.engine,
-                                    compute_consensus=config.use_consensus)
+            def finish_strand(rnode, anc):
                 if anc is None:   # anchoring-threshold skip
                     return None, -1.0, -1.0
+                temp = TreeNode(name=f"#{count}#",
+                                children=[global_root, rnode])
+                temp.left.dist = 0.001
                 anc.is_read_sequence = True
                 anc.has_read_descendants = True
                 temp.graph = anc
@@ -190,11 +182,36 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                     overlap_with_any=config.overlap_with_any)
                 return temp, ov, ident
 
-            node, ov, ident = try_strand(False)
             ov_rc, ident_rc = -1.0, -1.0
             node_rc = None
             if config.both_strands and data_type == alph.DNA:
-                node_rc, ov_rc, ident_rc = try_strand(True)
+                # the forward and reverse-complement alignments are
+                # independent: one batched launch for both strands
+                # (task-parallel intent of reads_aligner.cpp:190-217)
+                from ..parallel.executor import (PairJob,
+                                                 execute_pair_jobs)
+                rfwd = leaf(read)
+                rrc = leaf(read, turn_rc=True)
+                jobs = [PairJob(left=global_root.graph, right=rn.graph,
+                                model=model, settings=settings,
+                                left_branch_length=0.001,
+                                right_branch_length=config.query_distance,
+                                is_reads_sequence=True,
+                                compute_consensus=config.use_consensus)
+                        for rn in (rfwd, rrc)]
+                res = execute_pair_jobs(jobs, engine=config.engine)
+                node, ov, ident = finish_strand(rfwd, res[0][0])
+                node_rc, ov_rc, ident_rc = finish_strand(rrc, res[1][0])
+            else:
+                rnode = leaf(read)
+                anc, _ = align_pair(global_root.graph, rnode.graph,
+                                    model, settings,
+                                    left_branch_length=0.001,
+                                    right_branch_length=config.query_distance,
+                                    is_reads_sequence=True,
+                                    engine=config.engine,
+                                    compute_consensus=config.use_consensus)
+                node, ov, ident = finish_strand(rnode, anc)
 
             if ov > ov_rc and ov > config.min_query_overlap and \
                     ident > config.min_query_identity:

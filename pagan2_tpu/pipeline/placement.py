@@ -126,9 +126,15 @@ def _read_match_score(target: TreeNode, read_graph, model, settings,
                         left_branch_length=0.001,
                         right_branch_length=cfg.query_distance,
                         is_reads_sequence=True, engine=cfg.engine)
+    return _match_score_from_anc(anc, target.graph, read_graph, model,
+                                 cfg)
+
+
+def _match_score_from_anc(anc, lg, rg, model,
+                          cfg: PlacementConfig) -> float:
+    """Scoring half of read_match_score over a finished alignment."""
     if anc is None:   # anchoring-threshold skip (node.cpp:155-186)
         return -float("inf")
-    lg, rg = target.graph, read_graph
     matching = 0
     subst = 0.0
     max_l = 0.0
@@ -291,8 +297,8 @@ def _reconstruct_one_parsimony(tree: TreeNode, new_node: TreeNode,
 def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                   data_type: str, cfg: PlacementConfig | None = None,
                   model_factory: ModelFactory | None = None,
-                  settings: AlignSettings | None = None
-                  ) -> PlacementOutcome:
+                  settings: AlignSettings | None = None,
+                  mesh=None) -> PlacementOutcome:
     """query_placement_one (reads_aligner.cpp:623-911)."""
     cfg = cfg or PlacementConfig()
     tree = res.tree
@@ -368,9 +374,32 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             best_nodes = [cand[0]]
             best_score = 1.0
         else:
+            # candidate scoring: every (node x strand) alignment is an
+            # independent job — one batched launch instead of a serial
+            # sweep (task-parallel intent of find_nodes_for_query,
+            # reads_aligner.cpp:1996-2278). Graph copies keep scoring
+            # side-effect-free on the live tree.
+            import copy as _copy
+            from ..parallel.executor import PairJob, execute_pair_jobs
+            jobs = []
             for name in cand:
                 t = nodes_map[name]
-                sc = _read_match_score(t, fwd_graph, model, settings, cfg)
+                for g in ((fwd_graph,) if rc_graph is None
+                          else (fwd_graph, rc_graph)):
+                    jobs.append(PairJob(
+                        left=_copy.deepcopy(t.graph),
+                        right=_copy.deepcopy(g), model=model,
+                        settings=settings, left_branch_length=0.001,
+                        right_branch_length=cfg.query_distance,
+                        is_reads_sequence=True, key=name))
+            results = execute_pair_jobs(jobs, engine=cfg.engine,
+                                        mesh=mesh)
+            scores = [_match_score_from_anc(anc, j.left, j.right,
+                                            model, cfg)
+                      for j, (anc, _e) in zip(jobs, results)]
+            per_strand = 1 if rc_graph is None else 2
+            for ci, name in enumerate(cand):
+                sc = scores[ci * per_strand]
                 if sc == best_score and not cfg.one_placement_only \
                         and not cfg.exhaustive_placement:
                     best_nodes.append(name)
@@ -379,8 +408,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                     best_nodes = [name]
                     best_strand_rev = False
                 if rc_graph is not None:
-                    sc = _read_match_score(t, rc_graph, model, settings,
-                                           cfg)
+                    sc = scores[ci * per_strand + 1]
                     if sc == best_score and not cfg.one_placement_only \
                         and not cfg.exhaustive_placement:
                         best_nodes.append(name)
