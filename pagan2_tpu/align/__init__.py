@@ -245,13 +245,16 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                         left, right, model, settings,
                         left_branch_length, right_branch_length, band=band)
                     _acct(_t0, _band_cells(band, L, R))
-            elif ok and not settings.pair_end_reads:
+            elif ok:
                 # graph fan-in: ring-of-diagonals sheared kernels for
                 # ANY fan-in (454/homopolymer reads, ancestors with
                 # indels, deep homopolymer runs beyond the one-hot
                 # caps) — banded/windowed like the reference tunnels
                 # every pair (tunnel_matrix.h:45-152); the dense-plane
-                # viterbi_jax path is no longer used for graphs
+                # viterbi_jax path is no longer used for graphs.
+                # Pair-end break penalties ride the positional gext /
+                # open vectors (basic_alignment.h:633-676 semantics are
+                # engine-agnostic in the reference).
                 from .viterbi_fanin import fanin_align_path
                 if band is None and use_anchors and \
                         min(left.num_sites(), right.num_sites()) > \
@@ -266,15 +269,6 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                     left_branch_length, right_branch_length, band=band)
                 _acct(_t0, _band_cells(band, left.num_sites() - 1,
                                        right.num_sites() - 1))
-            else:
-                from .viterbi_jax import jax_align_path
-                import time as _time
-                _t0 = _time.perf_counter()
-                path, end = jax_align_path(left, right, model, settings,
-                                           left_branch_length,
-                                           right_branch_length)
-                _acct(_t0, (left.num_sites() - 1) *
-                      (right.num_sites() - 1))
         except ImportError:
             if engine == "jax":
                 raise

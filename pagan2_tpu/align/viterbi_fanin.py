@@ -516,7 +516,11 @@ def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
     gend = gext if settings.no_terminal_edges else m.log_gap_end_ext()
     lgo = m.log_gap_open()
 
-    def side(arr, n):
+    pair_end = bool(settings.pair_end_reads)
+    xr1 = settings.x_read1_length if pair_end else -2
+    yr1 = settings.y_read1_length if pair_end else -2
+
+    def side(arr, n, read1):
         prev = arr["prev"][:n]
         mask = arr["mask"][:n] & (prev >= 0) & \
             (prev < np.arange(n)[:, None])
@@ -527,11 +531,13 @@ def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
         op = np.full(prev.shape, lgo, dtype)
         if settings.reduced_terminal_gap_penalties:
             op[prev == 0] = 0.0
+            if pair_end and read1 >= 0:
+                op[prev == read1] = 0.0
         op = np.where(mask, op, 0.0)
         return off, lw, op
 
-    loff, llw, lopen = side(la, L)
-    roff, rlw, ropen = side(ra, R)
+    loff, llw, lopen = side(la, L, xr1)
+    roff, rlw, ropen = side(ra, R, yr1)
 
     gext_i = np.full(L, gext, dtype)
     gext_i[0] = gend
@@ -539,6 +545,14 @@ def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
     gext_j = np.full(R, gext, dtype)
     gext_j[0] = gend
     gext_j[R - 1] = gend
+    # pair-end break extension overrides the terminal rule at the read1
+    # boundary (compute_fwd_scores gap-type priority, oracle.py:267-280)
+    if pair_end:
+        gbrk = dtype(m.log_gap_break_ext())
+        if 0 <= xr1 < L:
+            gext_i[xr1] = gbrk
+        if 0 <= yr1 < R:
+            gext_j[yr1] = gbrk
 
     lstates = np.asarray(left.states[:L], np.int32)
     rstates = np.asarray(right.states[:R], np.int32)
@@ -556,6 +570,7 @@ def prepare_fanin(left: SequenceGraph, right: SequenceGraph,
         reid=ra["eid"][:R + 1], rprev=ra["prev"][:R + 1],
         lng=dtype(m.log_non_gap()), lgo=dtype(lgo),
         gext=dtype(gext), gend=dtype(gend),
+        pair_end=pair_end and (xr1 >= 0 or yr1 >= 0),
         log_score=model.log_score.astype(dtype),
     )
 

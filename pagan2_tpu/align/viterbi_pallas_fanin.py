@@ -96,6 +96,10 @@ def pallas_fanin_eligible(inputs, B, Lp) -> bool:
     OR = max(i["OR"] for i in inputs)
     if KR > K_CAP_R or OL > OFF_CAP or OR > OFF_CAP:
         return False
+    # pair-end break penalties are positional vectors; the kernel only
+    # carries scalar gext/open values -> scan cores handle those jobs
+    if any(i.get("pair_end") for i in inputs):
+        return False
     # kernel-internal packed-code field widths (8 bits each, NONE
     # sentinel reserved; beyond -> scan cores' 16-bit bm layout)
     if KL * KR * 3 >= _P_NONE or KL * 3 >= _P_NONE or \

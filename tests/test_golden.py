@@ -197,3 +197,87 @@ def test_protein_identity_alignment(tmp_path):
     out = _run_cli(tmp_path, ">a\nMKVLAW\n>b\nMKVLAW\n",
                    "(a:0.1,b:0.1);\n")
     assert out == ">a\nMKVLAW\n>b\nMKVLAW\n"
+
+
+# ----------------------------------------------------------------------
+# round-3 corpus growth (VERDICT r2 item 7): 454 skip-edge semantics,
+# ancestors with indel edges, non-identity codon/protein cases
+# ----------------------------------------------------------------------
+def _engines_fanin(g1f, g2f, model, **kw):
+    """(name, path, end) for the oracle and BOTH fan-in device cores —
+    an edge-iteration-order transcription bug in any of them breaks the
+    hand-derived expectations below."""
+    from pagan2_tpu.align.viterbi_fanin import fanin_align_path
+    from pagan2_tpu.align import viterbi_pallas_fanin as vpf
+    s = AlignSettings(**kw)
+    a, b = g1f(), g2f()
+    yield ("oracle",) + PairAligner(a, b, model, s).align()
+    a, b = g1f(), g2f()
+    yield ("fanin-scan",) + fanin_align_path(a, b, model, s)
+    a, b = g1f(), g2f()
+    vpf.INTERPRET = True
+    try:
+        yield ("fanin-pallas",) + fanin_align_path(a, b, model, s)
+    finally:
+        vpf.INTERPRET = False
+
+
+def test_454_homopolymer_skip_edge_score(model):
+    """FASTQ 454 graph of ACGGGT (run of three Gs -> direct edge w=0.9
+    and a skip-one edge w=0.1 into the T, sequence.cpp:456-500) aligned
+    to plain ACGGT: the winning path matches A,C,G,G,T and consumes the
+    extra G through the 0.1 skip edge — log(0.1) ~ -2.3 beats a gap
+    (lng+lgo ~ -6.2) — so
+      score = sum(2*lng + ms[c,c] for c in ACGGT)
+              + f32(log 0.1)          (left skip-edge weight, match move)
+              + lng                   (end-corner match move).
+    The skipped G appears as one pushed non-real gap cell."""
+    c = _consts(model)
+    skip_lw = float(np.float32(np.log(np.float64(0.1))))
+    expected = (sum(2 * c["lng"] + _ms(model, ch, ch) for ch in "ACGGT")
+                + skip_lw + c["lng"])
+    mk454 = lambda: build_leaf_graph(  # noqa: E731
+        "ACGGGT", alph.DNA, quality="IIIIII", mode454=True)
+    mk = lambda: build_leaf_graph("ACGGT", alph.DNA)  # noqa: E731
+    for name, path, end in _engines_fanin(mk454, mk, model):
+        # the pallas kernel fills in f32
+        tol = 1e-6 if name == "fanin-pallas" else 1e-9
+        assert end.score == pytest.approx(expected, rel=tol), name
+        real = [p for p in path if p.real_site]
+        pushed = [p for p in path if not p.real_site]
+        assert len(real) == 5, name
+        assert len(pushed) == 1, name
+        from pagan2_tpu.align.settings import M_MAT
+        assert all(p.mp.matrix == M_MAT for p in real), name
+
+
+def test_cli_golden_three_leaf_ancestor_indel(tmp_path):
+    """3-leaf family whose (a,b) ancestor carries an indel edge
+    bridging the deleted GG; aligning c (which also lacks GG, with one
+    substitution) must ride that edge — the gen-2 job exercises the
+    fan-in engine end-to-end through the CLI. Flanks are long enough
+    that the internal gap wins under any empirical base frequencies."""
+    out = _run_cli(tmp_path,
+                   ">a\nCATTGAGGACGTTC\n>b\nCATTGAACGTTC\n"
+                   ">c\nCATTGAACGTTG\n",
+                   "((a:0.1,b:0.1):0.05,c:0.1);\n")
+    assert out == (">a\nCATTGAGGACGTTC\n>b\nCATTGA--ACGTTC\n"
+                   ">c\nCATTGA--ACGTTG\n")
+
+
+def test_cli_golden_codon_deletion(tmp_path):
+    """Non-identity codon case: a whole-codon deletion must come out as
+    a frame-aligned triplet gap."""
+    out = _run_cli(tmp_path,
+                   ">a\nATGAAAGCATGGCCC\n>b\nATGAAATGGCCC\n",
+                   "(a:0.1,b:0.1);\n", "--codons")
+    assert out == ">a\nATGAAAGCATGGCCC\n>b\nATGAAA---TGGCCC\n"
+
+
+def test_cli_golden_protein_deletion_and_substitution(tmp_path):
+    out = _run_cli(tmp_path, ">a\nMKVLAW\n>b\nMKVAW\n",
+                   "(a:0.1,b:0.1);\n")
+    assert out == ">a\nMKVLAW\n>b\nMKV-AW\n"
+    out = _run_cli(tmp_path, ">a\nMKVLAW\n>b\nMKVIAW\n",
+                   "(a:0.1,b:0.1);\n")
+    assert out == ">a\nMKVLAW\n>b\nMKVIAW\n"

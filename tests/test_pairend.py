@@ -158,3 +158,51 @@ def test_cli_pair_end_flag():
     args = build_parser().parse_args(["--pair-end", "-q", "x.fastq",
                                       "-o", "out"])
     assert args.pair_end
+
+
+def test_fanin_matches_oracle_pair_end(model):
+    """Pair-end on FAN-IN graphs (454-mode pair-end reads) must run the
+    device fan-in path with oracle-identical results — the round-2 gap
+    routed these to the host oracle (VERDICT r2 item 9)."""
+    import pagan2_tpu.align as al
+    rng = np.random.default_rng(5)
+    r1 = "".join(rng.choice(list("ACGT"), 16)) + "AAAA"
+    r2 = "TTTT" + "".join(rng.choice(list("ACGT"), 16))
+    mid = "".join(rng.choice(list("ACGT"), 24))
+    ref = r1 + mid + r2
+
+    def pe454(seq):
+        g = build_leaf_graph(seq, alph.DNA, quality="I" * len(seq),
+                             mode454=True)
+        return g
+
+    def rebuild():
+        left = build_leaf_graph(ref, alph.DNA, mode454=True)
+        right = pe454(r1 + "0" + r2)
+        return left, right
+
+    s = replace(AlignSettings(), pair_end_reads=True,
+                reduced_terminal_gap_penalties=True)
+
+    from pagan2_tpu.align.viterbi_sheared import is_linear_chain
+    l0, r0 = rebuild()
+    assert not (is_linear_chain(l0) and is_linear_chain(r0))
+
+    anc_o, end_o = align_pair(*rebuild(), model, s, engine="oracle")
+
+    called = {}
+    orig = al.PairAligner.align
+
+    def spy(self):
+        called["oracle"] = True
+        return orig(self)
+
+    import unittest.mock as mock
+    with mock.patch.object(al.PairAligner, "align", spy):
+        anc_d, end_d = align_pair(*rebuild(), model, s, engine="jax")
+    assert "oracle" not in called
+    assert end_d.score == pytest.approx(end_o.score, rel=1e-9)
+    assert [int(x) for x in anc_d.states[:anc_d.num_sites()]] == \
+        [int(x) for x in anc_o.states[:anc_o.num_sites()]]
+    assert list(anc_d.site_type[:anc_d.num_sites()]) == \
+        list(anc_o.site_type[:anc_o.num_sites()])
