@@ -183,6 +183,48 @@ def _bwd_core(msp_sh, wr_rext, wl, consts, Ldp, Rdp, corner_seed):
 
 _fwd_fill = jax.jit(_fwd_core)
 _bwd_fill = jax.jit(_bwd_core)
+# batched variants: one launch fills a whole generation bucket's planes
+# (every argument per-job, leading axis B)
+_fwd_fill_batched = jax.jit(jax.vmap(_fwd_core))
+_bwd_fill_batched = jax.jit(jax.vmap(_bwd_core))
+
+
+def linear_fullprob_inputs(left, right, model, dtype=np.float64,
+                           Lp=None, Rp=None):
+    """Host-side numpy inputs for the linear scaled scans — per-job and
+    batch-stackable (pad every job of a bucket to the same Lp/Rp)."""
+    from .viterbi_sheared import _shear_np, _rext_np
+    L = left.num_sites() - 1
+    R = right.num_sites() - 1
+    Lp = Lp or _bucket(L)
+    Rp = Rp or _bucket(R)
+    D = Lp + Rp - 1
+    m = model
+
+    lstates = np.asarray(left.states[:L], np.int32)
+    rstates = np.asarray(right.states[:R], np.int32)
+    msp = np.zeros((Lp, Rp), dtype)
+    msp[:L, :R] = m.score[np.ix_(lstates, rstates)].astype(dtype)
+    msp_sh = np.ascontiguousarray(_shear_np(msp, D))
+
+    wl = np.ones(Lp, dtype)
+    for i in range(1, L):
+        wl[i] = float(left.edges.weight[left.bwd[i][0]])
+    wr = np.ones(R, dtype)
+    for j in range(1, R):
+        wr[j] = float(right.edges.weight[right.bwd[j][0]])
+    wr_rext = _rext_np(wr, R, Rp, Lp, dtype)
+
+    w_lstop = float(left.edges.weight[left.bwd[L][0]])
+    w_rstop = float(right.edges.weight[right.bwd[R][0]])
+    consts = np.array(
+        [m.ext_prob, m.gap_close() * m.gap_open(),
+         m.non_gap() * m.gap_open(), m.non_gap() * m.non_gap(),
+         m.gap_close() * m.non_gap()], dtype)
+    return dict(L=L, R=R, Lp=Lp, Rp=Rp, msp_sh=msp_sh,
+                wr_rext=wr_rext, wl=wl, consts=consts,
+                w_lstop=w_lstop, w_rstop=w_rstop,
+                seed=dtype(m.non_gap() * w_lstop * w_rstop))
 
 
 # ----------------------------------------------------------------------
@@ -207,50 +249,66 @@ class FullProbPlanes:
         self.Lp = Lp
         D = Lp + Rp - 1
 
-        m = model
-        lstates = np.asarray(left.states[:L], np.int32)
-        rstates = np.asarray(right.states[:R], np.int32)
-        msp = np.zeros((Lp, Rp), dtype)
-        msp[:L, :R] = m.score[np.ix_(lstates, rstates)].astype(dtype)
-        msp_sh = _shear(jnp.asarray(msp), D)
-
         from .viterbi_sheared import is_linear_chain
         self.fanin = not (is_linear_chain(left) and
                           is_linear_chain(right))
 
-        consts = jnp.asarray(np.array(
-            [m.ext_prob, m.gap_close() * m.gap_open(),
-             m.non_gap() * m.gap_open(), m.non_gap() * m.non_gap(),
-             m.gap_close() * m.non_gap()], dtype))
-
-        gc = m.gap_close()
         if not self.fanin:
-            wl = np.ones(Lp, dtype)
-            for i in range(1, L):
-                wl[i] = float(left.edges.weight[left.bwd[i][0]])
-            wr = np.ones(R, dtype)
-            for j in range(1, R):
-                wr[j] = float(right.edges.weight[right.bwd[j][0]])
-            wr_rext = _rext(wr, R, Rp, Lp, dtype)
-
-            self.w_lstop = float(left.edges.weight[left.bwd[L][0]])
-            self.w_rstop = float(right.edges.weight[right.bwd[R][0]])
-            seed = dtype(m.non_gap() * self.w_lstop * self.w_rstop)
-
-            fM, fX, fY, fcum = _fwd_fill(msp_sh, wr_rext,
-                                         jnp.asarray(wl), consts,
-                                         jnp.int32(L), jnp.int32(R))
-            bM, bX, bY, bcum = _bwd_fill(msp_sh, wr_rext,
-                                         jnp.asarray(wl), consts,
-                                         jnp.int32(L), jnp.int32(R),
-                                         jnp.asarray(seed))
+            inp = linear_fullprob_inputs(left, right, model, dtype)
+            self.w_lstop = inp["w_lstop"]
+            self.w_rstop = inp["w_rstop"]
+            args = (jnp.asarray(inp["msp_sh"]),
+                    jnp.asarray(inp["wr_rext"]), jnp.asarray(inp["wl"]),
+                    jnp.asarray(inp["consts"]), jnp.int32(L),
+                    jnp.int32(R))
+            fM, fX, fY, fcum = _fwd_fill(*args)
+            bM, bX, bY, bcum = _bwd_fill(*args,
+                                         jnp.asarray(inp["seed"]))
         else:
+            m = model
+            lstates = np.asarray(left.states[:L], np.int32)
+            rstates = np.asarray(right.states[:R], np.int32)
+            msp = np.zeros((Lp, Rp), dtype)
+            msp[:L, :R] = m.score[np.ix_(lstates,
+                                         rstates)].astype(dtype)
+            msp_sh = _shear(jnp.asarray(msp), D)
+            consts = jnp.asarray(np.array(
+                [m.ext_prob, m.gap_close() * m.gap_open(),
+                 m.non_gap() * m.gap_open(),
+                 m.non_gap() * m.non_gap(),
+                 m.gap_close() * m.non_gap()], dtype))
             fM, fX, fY, fcum, bM, bX, bY, bcum = \
                 self._run_fanin(msp_sh, consts, dtype)
 
-        self.f = (np.asarray(fM), np.asarray(fX), np.asarray(fY))
+        self._finish((fM, fX, fY), fcum, (bM, bX, bY), bcum)
+
+    @classmethod
+    def from_arrays(cls, left, right, model, inp, f_planes, fcum,
+                    b_planes, bcum):
+        """Construct from pre-filled planes (the batched executor fills
+        a whole generation bucket in one vmapped launch). inp is the
+        job's linear_fullprob_inputs dict."""
+        self = cls.__new__(cls)
+        self.left = left
+        self.right = right
+        self.model = model
+        self.L = inp["L"]
+        self.R = inp["R"]
+        self.Lp = inp["Lp"]
+        self.fanin = False
+        self.w_lstop = inp["w_lstop"]
+        self.w_rstop = inp["w_rstop"]
+        self._finish(f_planes, fcum, b_planes, bcum)
+        return self
+
+    def _finish(self, f_planes, fcum, b_planes, bcum):
+        """Store planes + totals + the fwd/bwd 1% consistency check
+        (viterbi_alignment.cpp:344-355)."""
+        L, R = self.L, self.R
+        m = self.model
+        self.f = tuple(np.asarray(p) for p in f_planes)
         self.fcum = np.asarray(fcum)
-        self.b = (np.asarray(bM), np.asarray(bX), np.asarray(bY))
+        self.b = tuple(np.asarray(p) for p in b_planes)
         self.bcum = np.asarray(bcum)
 
         if not self.fanin:
@@ -258,6 +316,7 @@ class FullProbPlanes:
             # (iterate_bwd_edges_for_end_corner's fwd accumulation,
             # viterbi_alignment.cpp:1440-1567): match via non_gap*wl*wr
             # + both gap closes via gap_close (no weights)
+            gc = m.gap_close()
             d = L + R - 2
             i = L - 1
             tot = (m.non_gap() * self.w_lstop * self.w_rstop *

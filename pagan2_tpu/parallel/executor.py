@@ -93,10 +93,18 @@ def _plan_job(job: PairJob):
     from ..align.viterbi_sheared import is_linear_chain, _bucket
 
     s = job.settings
-    if s.pair_end_reads or s.compute_full_score or s.sample_path or \
-            s.sample_additional_paths > 0:
-        return "single"
     linear = is_linear_chain(job.left) and is_linear_chain(job.right)
+    if s.compute_full_score or s.sample_path or \
+            s.sample_additional_paths > 0:
+        # full-probability / sampling jobs: linear chains batch their
+        # scaled fwd/bwd plane fills (one vmapped launch per bucket);
+        # graph pairs stay single (still on device via fullprob's
+        # fan-in cores)
+        if linear and not s.pair_end_reads:
+            return "batch_fp"
+        return "single"
+    if s.pair_end_reads:
+        return "single"
     if not linear:
         from ..align.viterbi_fanin import fanin_stats, K_CAP, G_CAP
         KL, OL = fanin_stats(job.left)
@@ -270,6 +278,7 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
 
     buckets: dict[tuple, list[int]] = {}
     fanin_buckets: dict[tuple, list[int]] = {}
+    fp_buckets: dict[tuple, list[int]] = {}
     for i, job in enumerate(jobs):
         try:
             kind = _plan_job(job)
@@ -283,8 +292,8 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
             L = job.left.num_sites() - 1
             R = job.right.num_sites() - 1
             key = (_bucket(L), _bucket(R))
-            (buckets if kind == "batch" else
-             fanin_buckets).setdefault(key, []).append(i)
+            {"batch": buckets, "fanin": fanin_buckets,
+             "batch_fp": fp_buckets}[kind].setdefault(key, []).append(i)
 
     n_shards = _mesh_size(mesh)
 
@@ -337,6 +346,20 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
             part = idxs[c0:c0 + chunk]
             _launch_fanin_batch(jobs, part, results, Lp, Rp, mesh,
                                 n_shards, engine, dtype)
+
+    for (Lp, Rp), idxs in sorted(fp_buckets.items()):
+        if len(idxs) == 1 and n_shards == 1:
+            i = idxs[0]
+            results[i] = _run_single(jobs[i], engine)
+            continue
+        per_job_cells = Lp * Rp
+        chunk = max(n_shards,
+                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
+                    * n_shards or n_shards)
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0:c0 + chunk]
+            _launch_fullprob_batch(jobs, part, results, Lp, Rp, mesh,
+                                   n_shards, engine, dtype)
     return results
 
 
@@ -495,4 +518,146 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
                                     job.right_branch_length,
                                     job.is_reads_sequence,
                                     compute_consensus=job.compute_consensus)
+        results[i] = (anc, end)
+
+
+def _launch_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
+                           engine, dtype):
+    """One vmapped launch fills a bucket of full-probability /
+    sampling jobs' scaled fwd/bwd planes (plus one batched Viterbi
+    launch for the non-sampling jobs); posteriors, stochastic draws and
+    ancestral builds finish per job on host in job order (the same RNG
+    stream the sequential loop would consume)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace as _replace
+    import pagan2_tpu.align as al
+    from ..align import fullprob as fp
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.oracle import PathPtr
+    from ..align.viterbi_sheared import (batched_sheared_fill,
+                                         _ShearedCells,
+                                         _end_corner_linear)
+    from ..align.viterbi_jax import _backtrack_arrays
+    from ..io import plots
+
+    t_launch = time.perf_counter()
+    B = len(idxs)
+    pad_to = 1
+    while pad_to < B:
+        pad_to *= 2
+    pad_to = -(-pad_to // n_shards) * n_shards
+
+    sjobs = []
+    for i in idxs:
+        job = jobs[i]
+        s = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        if (s.sample_path or s.sample_additional_paths > 0) and \
+                not s.compute_full_score:
+            # sampling draws from fwd probabilities
+            # (basic_alignment.h:621-625)
+            s = _replace(s, compute_full_score=True)
+        sjobs.append(s)
+
+    inputs = [fp.linear_fullprob_inputs(jobs[i].left, jobs[i].right,
+                                        jobs[i].model, dtype,
+                                        Lp=Lp, Rp=Rp)
+              for i in idxs]
+    pads = inputs + [inputs[0]] * (pad_to - B)
+
+    def stk(k, dt=None):
+        return jnp.asarray(np.stack([np.asarray(p[k], dt) if dt
+                                     else p[k] for p in pads]))
+
+    args = [stk("msp_sh"), stk("wr_rext"), stk("wl"), stk("consts"),
+            jnp.asarray(np.array([p["L"] for p in pads], np.int32)),
+            jnp.asarray(np.array([p["R"] for p in pads], np.int32))]
+    seeds = jnp.asarray(np.array([p["seed"] for p in pads]))
+    if mesh is not None and n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P("jobs"))
+        args = [jax.device_put(a, spec) for a in args]
+        seeds = jax.device_put(seeds, spec)
+    fM, fX, fY, fcum = fp._fwd_fill_batched(*args)
+    bM, bX, bY, bcum = fp._bwd_fill_batched(*args, seeds)
+
+    # batched Viterbi fill for the jobs that follow the best path
+    # (sampling jobs draw their path from the planes instead)
+    vit = [b for b, i in enumerate(idxs) if not sjobs[b].sample_path]
+    bp = final = None
+    vinputs = None
+    if vit:
+        vjobs = [jobs[idxs[b]] for b in vit]
+        vargs, vinputs = _stack_sheared(
+            vjobs, Lp, Rp, -(-len(vit) // n_shards) * n_shards, dtype)
+        if mesh is not None and n_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(mesh, P("jobs"))
+            vargs = [jax.device_put(a, spec) for a in vargs]
+        bp, final = batched_sheared_fill(*vargs)
+
+    from ..utils import fetch_np
+    fM, fX, fY, fcum = (fetch_np(fM), fetch_np(fX), fetch_np(fY),
+                        fetch_np(fcum))
+    bM, bX, bY, bcum = (fetch_np(bM), fetch_np(bX), fetch_np(bY),
+                        fetch_np(bcum))
+    if bp is not None:
+        bp = fetch_np(bp)
+        final = fetch_np(final)
+    EXEC_STATS["launches"] += 1
+    EXEC_STATS["batched_jobs"] += B
+    EXEC_STATS["batched_cells"] += sum(
+        inp["L"] * inp["R"] for inp in inputs)
+    EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
+    log_out("batched full-prob launch: %d jobs (bucket %dx%d, "
+            "%d shard%s)" % (B, Lp, Rp, n_shards,
+                             "s" if n_shards > 1 else ""), 3)
+
+    vslot = {b: k for k, b in enumerate(vit)}
+    for b, i in enumerate(idxs):
+        job = jobs[i]
+        s = sjobs[b]
+        planes = fp.FullProbPlanes.from_arrays(
+            job.left, job.right, job.model, inputs[b],
+            (fM[b], fX[b], fY[b]), fcum[b],
+            (bM[b], bX[b], bY[b]), bcum[b])
+        if plots.posterior_sink_active():
+            plots.add_posterior_figure_planes(planes)
+        rng = al._RNG or np.random.default_rng()
+        if s.sample_path:
+            path, end = fp.sample_path_planes(
+                planes, s, rng, job.left_branch_length,
+                job.right_branch_length)
+        else:
+            k = vslot[b]
+            cells = _ShearedCells(bp[k], job.left, job.right)
+            end = _end_corner_linear(final[k], job.left, job.right,
+                                     job.model, inputs[b]["L"],
+                                     inputs[b]["R"])
+            end.bwd_score = 1.0
+            end.full_score = 1.0
+            path = _backtrack_arrays(cells, job.left, job.right,
+                                     PathPtr(end, True),
+                                     inputs[b]["L"], inputs[b]["R"],
+                                     job.left_branch_length,
+                                     job.right_branch_length)
+            fp.annotate_path(path, planes, end)
+        anc = build_ancestral_graph(
+            job.left, job.right, path, job.model, s,
+            job.left_branch_length, job.right_branch_length,
+            job.is_reads_sequence,
+            compute_consensus=job.compute_consensus)
+        if s.sample_additional_paths > 0:
+            from ..align.sampling import merge_sampled_graph
+            for _ in range(s.sample_additional_paths):
+                extra = fp.sample_path_planes(
+                    planes, s, rng, job.left_branch_length,
+                    job.right_branch_length)[0]
+                sg = build_ancestral_graph(
+                    job.left, job.right, extra, job.model, s,
+                    job.left_branch_length, job.right_branch_length,
+                    job.is_reads_sequence)
+                merge_sampled_graph(anc, sg)
         results[i] = (anc, end)

@@ -95,3 +95,70 @@ def test_mixed_sizes_bucket_separately():
                               engine="oracle")
     assert {e.name: e.sequence for e in res.alignment} == \
         {e.name: e.sequence for e in res_o.alignment}
+
+
+def _forced_single(monkeypatch):
+    orig = executor._plan_job
+
+    def plan(job):
+        kind = orig(job)
+        return "single" if kind in ("batch_fp",) else kind
+    monkeypatch.setattr(executor, "_plan_job", plan)
+
+
+def test_fullprob_jobs_batch_through_executor(monkeypatch):
+    """--full-probability generations must fill their probability
+    planes in one vmapped launch per bucket (round-2 weakness: these
+    jobs opted out of batching), with output and posterior supports
+    identical to the sequential path."""
+    from dataclasses import replace
+    from pagan2_tpu.align import AlignSettings
+    entries = _family(6, length=60, seed=4)
+    newick = _balanced_tree(6)
+    s = replace(AlignSettings(), compute_full_score=True)
+
+    executor.reset_stats()
+    res_b = align_progressive(entries, newick, data_type=alph.DNA,
+                              settings=s)
+    stats = dict(executor.EXEC_STATS)
+    assert stats["launches"] >= 1, stats
+    assert stats["batched_jobs"] >= 2, stats
+    sup_b = list(res_b.tree.graph.posterior_support[
+        1:res_b.tree.graph.num_sites() - 1])
+
+    _forced_single(monkeypatch)
+    executor.reset_stats()
+    res_s = align_progressive(entries, newick, data_type=alph.DNA,
+                              settings=s)
+    assert executor.EXEC_STATS["batched_jobs"] == 0
+    assert {e.name: e.sequence for e in res_b.alignment} == \
+        {e.name: e.sequence for e in res_s.alignment}
+    sup_s = list(res_s.tree.graph.posterior_support[
+        1:res_s.tree.graph.num_sites() - 1])
+    np.testing.assert_allclose(sup_b, sup_s, rtol=1e-9)
+
+
+def test_sample_path_jobs_batch_through_executor(monkeypatch):
+    """--sample-path generations batch their plane fills; with a fixed
+    seed the batched run consumes the same RNG stream (finishes in job
+    order) and reproduces the sequential alignment."""
+    from dataclasses import replace
+    import pagan2_tpu.align as al
+    from pagan2_tpu.align import AlignSettings
+    entries = _family(6, length=60, seed=9)
+    newick = _balanced_tree(6)
+    s = replace(AlignSettings(), sample_path=True,
+                compute_full_score=True)
+
+    al.set_sampling_seed(11)
+    executor.reset_stats()
+    res_b = align_progressive(entries, newick, data_type=alph.DNA,
+                              settings=s)
+    assert executor.EXEC_STATS["launches"] >= 1, executor.EXEC_STATS
+
+    _forced_single(monkeypatch)
+    al.set_sampling_seed(11)
+    res_s = align_progressive(entries, newick, data_type=alph.DNA,
+                              settings=s)
+    assert {e.name: e.sequence for e in res_b.alignment} == \
+        {e.name: e.sequence for e in res_s.alignment}
