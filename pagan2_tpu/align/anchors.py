@@ -209,25 +209,56 @@ def eliminate_bad_hits(hits: list[SubstringHit],
                        threshold_totally_overlapping: int = 50,
                        threshold_partly_overlapping: int = 400
                        ) -> list[SubstringHit]:
-    """find_anchors.cpp:497-545 (mutating scan with a good-hit set)."""
-    good: list[SubstringHit] = []
+    """find_anchors.cpp:497-545 (mutating scan with a good-hit set).
+
+    The scan order is semantic (the good set grows as hits pass), but
+    each hit's verdict is order-free over the current good set, so the
+    inner loop vectorizes: `bad` is any-of and `decent` only matters
+    when no good hit made it bad (the reference breaks out on bad
+    without side effects). The scalar helpers above stay as the
+    documentation/spec of these expressions."""
+    n = len(hits)
     out: list[SubstringHit] = []
+    if n == 0:
+        return out
+    gs1 = np.empty(n, np.int64)
+    gs2 = np.empty(n, np.int64)
+    gl = np.empty(n, np.int64)
+    ng = 0
+    T1 = threshold_totally_overlapping
+    T2 = threshold_partly_overlapping
     for h in hits:
-        bad = False
-        decent = False
-        for s in good:
-            if _probably_bad(h, s) or _totally_overlapping(h, s):
-                if _distance(h, s) > threshold_totally_overlapping:
-                    bad = True
-                    break
-                decent = True
-            elif _partly_overlapping(h, s):
-                if _distance(h, s) > threshold_partly_overlapping:
-                    bad = True
-                    break
+        bad = decent = False
+        if ng:
+            s1 = gs1[:ng]
+            s2 = gs2[:ng]
+            sl = gl[:ng]
+            h1, h2, hl = h.start_site_1, h.start_site_2, h.length
+            pb = ((h1 < s1) & (h2 > s2) & (h1 + hl < s1 + sl)) | \
+                 ((h1 > s1) & (h2 < s2) & (h2 + hl < s2 + sl))
+            to = ((h1 >= s1) & (h1 + hl <= s1 + sl)) | \
+                 ((h2 >= s2) & (h2 + hl <= s2 + sl))
+            o1 = np.where((h1 >= s1) & (h1 + hl > s1 + sl),
+                          s1 + sl - h1, 0)
+            o2 = np.where((h2 >= s2) & (h2 + hl > s2 + sl),
+                          s2 + sl - h2, 0)
+            o3 = np.where((s1 >= h1) & (s1 + sl > h1 + hl),
+                          h1 + hl - s1, 0)
+            o4 = np.where((s2 >= h2) & (s2 + sl > h2 + hl),
+                          h2 + hl - s2, 0)
+            partly = (np.maximum(o1, o2) > 0) | (np.maximum(o3, o4) > 0)
+            dist = np.abs((s1 - s2) - (h1 - h2))
+            pbto = pb | to
+            bad = bool(np.any((pbto & (dist > T1)) |
+                              (~pbto & partly & (dist > T2))))
+            if not bad:
+                decent = bool(np.any(pbto & (dist <= T1)))
         if not bad:
             if not decent:
-                good.append(h)
+                gs1[ng] = h.start_site_1
+                gs2[ng] = h.start_site_2
+                gl[ng] = h.length
+                ng += 1
             out.append(h)
     return out
 
@@ -254,14 +285,19 @@ def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
     lowest = np.full(l1 + 1, max_h + 1, dtype=np.int64)
     highest = np.full(l1 + 1, min_h - 1, dtype=np.int64)
 
-    for h in hits:
-        for a in range(h.length):
-            x = i1[h.start_site_1 + a]
-            y = i2[h.start_site_2 + a]
-            if y < lowest[x]:
-                lowest[x] = max(y, min_h)
-            if y > highest[x]:
-                highest[x] = min(y, max_h)
+    if hits:
+        i1a = np.asarray(i1, np.int64)
+        i2a = np.asarray(i2, np.int64)
+        h1 = np.array([h.start_site_1 for h in hits], np.int64)
+        h2 = np.array([h.start_site_2 for h in hits], np.int64)
+        hl = np.array([h.length for h in hits], np.int64)
+        reps = np.repeat(np.arange(len(hits)), hl)
+        offs = np.arange(int(hl.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(hl) - hl, hl)
+        xs = i1a[h1[reps] + offs]
+        ys = i2a[h2[reps] + offs]
+        np.minimum.at(lowest, xs, np.maximum(ys, min_h))
+        np.maximum.at(highest, xs, np.minimum(ys, max_h))
 
     # monotone smoothing ("must not go zigzag")
     prev_high = highest[0]

@@ -129,6 +129,46 @@ class SequenceGraph:
             self.bwd[e].append(eid)
         return eid
 
+    def add_chain_sites_bulk(self, states, symbols):
+        """Append a run of REAL/TERMINAL sites, each chained to its
+        predecessor by a weight-1 edge — the plain linear-chain leaf
+        fast path (per-site add_site/add_edge Python calls dominate
+        megabase host prep otherwise). Equivalent to
+        [add_site(st, sym) + add_edge(prev, cur)] per character."""
+        n = len(states)
+        if n == 0:
+            return
+        base = len(self.states)
+        self.states.extend(states)
+        self.symbols.extend(symbols)
+        self.site_type.extend([REAL_SITE] * n)
+        self.path_state.extend([TERMINAL] * n)
+        self.posterior_support.extend([1.0] * n)
+        self.site_bcount_slu.extend([0] * n)
+        self.site_bdist_slu.extend([0.0] * n)
+        self.child_l.extend([-1] * n)
+        self.child_r.extend([-1] * n)
+        self.sumA.extend([0] * n)
+        self.sumC.extend([0] * n)
+        self.sumG.extend([0] * n)
+        self.sumT.extend([0] * n)
+        self.ambiguous.extend([False] * n)
+        e0 = len(self.edges.start)
+        self.edges.start.extend(range(base - 1, base + n - 1))
+        self.edges.end.extend(range(base, base + n))
+        w1 = np.float32(1.0)
+        z0 = np.float32(0.0)
+        self.edges.weight.extend([w1] * n)
+        self.edges.used.extend([False] * n)
+        self.edges.bcount_slu.extend([0] * n)
+        self.edges.bdist_slu.extend([z0] * n)
+        self.edges.bcount_skip.extend([0] * n)
+        if base > 0:
+            self.fwd[base - 1].append(e0)
+        self.fwd.extend([[e0 + k + 1] for k in range(n - 1)])
+        self.fwd.append([])
+        self.bwd.extend([[e0 + k] for k in range(n)])
+
     # --- edge queries mirroring Site::contains_bwd_edge etc. -----------
     def find_bwd_edge(self, end_site: int, start_site: int) -> int:
         """First bwd edge at `end_site` with the given start, else -1."""
