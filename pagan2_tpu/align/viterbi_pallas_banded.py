@@ -73,14 +73,16 @@ def _band_schedule(upper, lower, L, R):
 
 
 def _wl_shape(W: int):
-    """Smallest (S, Wl) tile covering window width W: lanes in 128
-    multiples, sublanes 1..8, then wider lanes."""
-    Wl = 128
-    S = -(-W // Wl)
-    if S > 8:
-        S = 8
-        Wl = -(-W // (8 * 128)) * 128
-    return S, Wl
+    """(S, Wl) tile covering window width W. S must be 1 or 8: Mosaic
+    cannot lower a dynamic sublane rotate on sub-tile sublane counts
+    ("unsupported unaligned shape" on e.g. vector<2x128>), and that
+    failure used to silently drop mid-width bands (129..1023) onto the
+    ~200x slower dispatch-bound scan core on TPU. The jump from (1,128)
+    straight to (8,128) wastes masked lanes for W just above 128 but
+    keeps every vreg dense and every shape Mosaic-aligned."""
+    if W <= 128:
+        return 1, 128
+    return 8, -(-W // (8 * 128)) * 128
 
 
 def _dbucket(n: int) -> int:
