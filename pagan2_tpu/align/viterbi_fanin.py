@@ -389,8 +389,13 @@ def _build_core(KL: int, KR: int, G: int, W: int):
                 return jnp.clip(s_, 0, G * W - 1), ok
 
             def pick(ring, idx):
-                br = jnp.broadcast_to(ring[:, None, :], idx.shape[:-1]
-                                      + (G * W,))
+                # explicit middle axes: right-aligned broadcasting
+                # would otherwise collide the batch axis with a slot
+                # axis once B > 1 (e.g. (B, GW) vs (B, KL, KR, W))
+                shape = (ring.shape[0],) + (1,) * (idx.ndim - 2) \
+                    + (G * W,)
+                br = jnp.broadcast_to(ring.reshape(shape),
+                                      idx.shape[:-1] + (G * W,))
                 return jnp.take_along_axis(br, idx, axis=-1)
 
             # ---- X: gap consuming left site i; candidate order per

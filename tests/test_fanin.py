@@ -299,3 +299,51 @@ def test_beyond_cap_graphs_take_banded_fanin_path():
     from pagan2_tpu.align import align_pair
     anc, aend = align_pair(g1, g2, model, settings, use_anchors=False)
     assert aend.score == pytest.approx(oend.score, rel=1e-9)
+
+
+def test_batched_beyond_cap_gather_core():
+    """A batched (B>1) fan-in launch whose offsets force the gather
+    core (OL*OR > 64 at K <= K_CAP: ancestors with long indel bridges)
+    must match per-job fills — the broadcast in the stacked-candidate
+    gather once collided the batch axis with a slot axis for B > 1."""
+    import copy
+    from pagan2_tpu.align import align_pair
+    from pagan2_tpu.parallel.executor import (execute_pair_jobs, PairJob,
+                                              EXEC_STATS, reset_stats)
+    rng = np.random.default_rng(17)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    jobs = []
+    singles = []
+    for t in range(2):
+        base = rng.choice(list("ACGT"), size=60)
+        s1 = "".join(base)
+        s2 = s1[:20] + s1[32:]        # 12-char deletion -> bridge o=13
+        ga = build_leaf_graph(s1, alph.DNA)
+        gb = build_leaf_graph(s2, alph.DNA)
+        anc, _ = align_pair(ga, gb, model, settings)
+        # right side is an ancestor too, so BOTH sides carry a long
+        # bridge edge and OL*OR crosses the one-hot cap
+        s3 = "".join(np.where(rng.random(60) < 0.08,
+                              rng.choice(list("ACGT"), size=60), base))
+        s4 = s3[:25] + s3[37:]
+        gc_ = build_leaf_graph(s3, alph.DNA)
+        gd = build_leaf_graph(s4, alph.DNA)
+        leaf, _ = align_pair(gc_, gd, model, settings)
+        KL, OL = fanin_stats(anc)
+        KR, OR = fanin_stats(leaf)
+        # in the batched-bucket regime: K within cap, OL*OR beyond the
+        # one-hot core cap -> gather core
+        assert KL <= 8 and OL + OR <= 64 and OL * OR > 64, (KL, OL, OR)
+        jobs.append(PairJob(left=copy.deepcopy(anc),
+                            right=copy.deepcopy(leaf), model=model,
+                            settings=settings))
+        singles.append(fanin_align_path(copy.deepcopy(anc),
+                                        copy.deepcopy(leaf), model,
+                                        settings))
+    reset_stats()
+    results = execute_pair_jobs(jobs)
+    assert EXEC_STATS["batched_jobs"] == 2, EXEC_STATS
+    for (anc2, end), (spath, send) in zip(results, singles):
+        assert end.score == pytest.approx(send.score, rel=1e-9)
