@@ -404,12 +404,42 @@ class FullProbPlanes:
                 seed_block[corner_d - (li + ri), li] = \
                     m.non_gap() * wl * wr
 
-        fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
-        args = (msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
-                jnp.asarray(roff_rext), jnp.asarray(rwp_rext), consts,
-                jnp.int32(L), jnp.int32(R))
-        fM, fX, fY, fcum = fwd(*args)
-        bM, bX, bY, bcum = bwd(*args, jnp.asarray(seed_block))
+        if OLm <= 8 and ORm <= 8:
+            # bounded offsets (454/homopolymer): one-hot cores
+            fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
+            args = (msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
+                    jnp.asarray(roff_rext), jnp.asarray(rwp_rext),
+                    consts, jnp.int32(L), jnp.int32(R))
+            fM, fX, fY, fcum = fwd(*args)
+            bM, bX, bY, bcum = bwd(*args, jnp.asarray(seed_block))
+            return fM, fX, fY, fcum, bM, bX, bY, bcum
+
+        # long bridges (ancestors spanning big indels): gather cores;
+        # the bwd pass iterates FWD edges, streamed as per-site
+        # offset/weight arrays in the same layouts
+        G = OLm + ORm
+        lfoff_r, lfw_r = fanout_arrays(left, L, dtype)
+        rfoff_r, rfw_r = fanout_arrays(right, R, dtype)
+        KFL = lfoff_r.shape[1]
+        KFR = rfoff_r.shape[1]
+        lfoff = np.zeros((Lp, KFL), np.int32)
+        lfw = np.zeros((Lp, KFL), dtype)
+        lfoff[:L] = lfoff_r
+        lfw[:L] = lfw_r
+        rfoff_rext = np.zeros((KFR, Ext), np.int32)
+        rfw_rext = np.zeros((KFR, Ext), dtype)
+        rfoff_rext[:, pos] = rfoff_r.T
+        rfw_rext[:, pos] = rfw_r.T
+
+        fwd, bwd = _fanin_gather_fills(KL, KR, KFL, KFR, G)
+        fM, fX, fY, fcum = fwd(
+            msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
+            jnp.asarray(roff_rext), jnp.asarray(rwp_rext), consts,
+            jnp.int32(L), jnp.int32(R))
+        bM, bX, bY, bcum = bwd(
+            msp_sh, jnp.asarray(lfoff), jnp.asarray(lfw),
+            jnp.asarray(rfoff_rext), jnp.asarray(rfw_rext), consts,
+            jnp.int32(L), jnp.int32(R), jnp.asarray(seed_block))
         return fM, fX, fY, fcum, bM, bX, bY, bcum
 
     def _fanin_corner_total(self):
@@ -705,13 +735,29 @@ def sample_path_planes(planes: FullProbPlanes, settings: AlignSettings,
 #   (initialise_array_corner_bwd, :740-830), injected per diagonal from
 #   a small host-built seed block.
 # ----------------------------------------------------------------------
+def _max_fanout(g) -> int:
+    n = g.num_sites() - 1
+    k = 1
+    for i in range(n):
+        c = sum(1 for e in g.fwd[i] if int(g.edges.end[e]) < n)
+        if c > k:
+            k = c
+    return k
+
+
 def fanin_fullprob_eligible(left, right) -> bool:
-    """Device full-prob eligibility for graph pairs (compile size grows
-    with KL*KR*OL*OR; beyond the caps the oracle's host loops remain)."""
+    """Device full-prob eligibility for graph pairs: bounded-offset
+    graphs (454/homopolymer) take the one-hot cores; long bridge edges
+    (ancestors spanning big indels) take the gather cores up to the
+    ring cap. Beyond these the oracle's host loops remain."""
     from .viterbi_fanin import fanin_stats
     KL, OL = fanin_stats(left)
     KR, OR = fanin_stats(right)
-    return KL <= 8 and KR <= 8 and OL <= 8 and OR <= 8
+    if KL > 8 or KR > 8 or OL + OR > 64:
+        return False
+    if OL <= 8 and OR <= 8:
+        return True
+    return _max_fanout(left) <= 8 and _max_fanout(right) <= 8
 
 
 def _shift_r(v, o):
@@ -1159,3 +1205,219 @@ def _sample_fanin(planes: FullProbPlanes, settings: AlignSettings, rng,
             break
 
     return stack[::-1], end
+
+
+# ----------------------------------------------------------------------
+# gather-based fan-in cores: arbitrary edge offsets up to the ring cap.
+# The one-hot cores above compile KL*KR*OLm*ORm selects, which is fine
+# for 454/homopolymer offsets (<= 8) but explodes for ancestors whose
+# indel bridges skip dozens of sites. Probability passes only SUM edge
+# contributions (no first-wins codes), so a handful of flat-ring
+# gathers replaces the selection entirely; ring depth G is the only
+# static shape.
+# ----------------------------------------------------------------------
+def fanout_arrays(g, n, dtype=np.float64):
+    """Per-site FWD-edge offset/weight arrays over sites 0..n-1,
+    excluding edges into the stop site (the oracle's bwd pass skips
+    nxt >= L; stop-edge mass arrives via the corner seeds)."""
+    KF = 1
+    offs = []
+    for i in range(n):
+        row = [(int(g.edges.end[e]) - i, float(g.edges.weight[e]))
+               for e in g.fwd[i] if int(g.edges.end[e]) < n]
+        offs.append(row)
+        KF = max(KF, len(row))
+    off = np.zeros((n, KF), np.int32)
+    w = np.zeros((n, KF), dtype)
+    for i, row in enumerate(offs):
+        for k, (o, wt) in enumerate(row):
+            off[i, k] = o
+            w[i, k] = wt
+    return off, w
+
+
+def _build_fwd_fanin_gather(KL, KR, G):
+    def core(msp_sh, loffp, lwp, roff_rext, rwp_rext, consts, Ldp, Rdp):
+        D, Lp = msp_sh.shape
+        f = msp_sh.dtype
+        ext_p, gcgo, nggo, ng2, gcng = [consts[k] for k in range(5)]
+        lane = jnp.arange(Lp)
+        zero = jnp.zeros((Lp,), f)
+        Ext = roff_rext.shape[1]
+        base = Ext - Lp - 2
+
+        oL = loffp.T.astype(jnp.int32)          # (KL, Lp)
+        lwT = lwp.T
+        M0 = zero.at[0].set(1.0)
+        ring0 = jnp.zeros((G * Lp,), f)
+
+        idxL = (oL - 1) * Lp + lane[None, :] - oL
+        okL = (oL > 0) & (oL <= G) & (lane[None, :] - oL >= 0)
+        idxLc = jnp.clip(idxL, 0, G * Lp - 1)
+
+        def step(carry, xs):
+            rM, rX, rY, cum = carry             # flat (G*Lp,) rings
+            d, msp = xs
+            start = base - d
+            roff = lax.dynamic_slice(roff_rext, (0, start), (KR, Lp))
+            rwp = lax.dynamic_slice(rwp_rext, (0, start), (KR, Lp))
+            jj = d - lane
+            valid = (jj >= 0) & (jj < Rdp) & (lane < Ldp)
+
+            # X: sum over left bwd edges, no weights
+            # (oracle._score_gap_* fwd branches)
+            comboX = (ext_p * jnp.take(rX, idxLc)
+                      + gcgo * jnp.take(rY, idxLc)
+                      + nggo * jnp.take(rM, idxLc))
+            X = jnp.sum(jnp.where(okL, comboX, 0.0), axis=0)
+
+            oR = roff
+            idxR = jnp.clip((oR - 1) * Lp + lane[None, :], 0,
+                            G * Lp - 1)
+            okR = (oR > 0) & (oR <= G)
+            comboY = (ext_p * jnp.take(rY, idxR)
+                      + gcgo * jnp.take(rX, idxR)
+                      + nggo * jnp.take(rM, idxR))
+            Y = jnp.sum(jnp.where(okR, comboY, 0.0), axis=0)
+
+            # M: edge pairs, both weights (oracle._score_match)
+            ot = oL[:, None, :] + oR[None, :, :]
+            idxM = jnp.clip((ot - 1) * Lp + lane[None, None, :]
+                            - oL[:, None, :], 0, G * Lp - 1)
+            okM = (oL[:, None, :] > 0) & (oR[None, :, :] > 0) & \
+                (ot <= G) & (lane[None, None, :] - oL[:, None, :] >= 0)
+            comboM = (ng2 * jnp.take(rM, idxM)
+                      + gcng * jnp.take(rX, idxM)
+                      + gcng * jnp.take(rY, idxM))
+            contrib = comboM * lwT[:, None, :] * rwp[None, :, :]
+            M = msp * jnp.sum(jnp.where(okM, contrib, 0.0),
+                              axis=(0, 1))
+
+            X = jnp.where(valid & (lane > 0), X, 0.0)
+            Y = jnp.where(valid & (jj > 0), Y, 0.0)
+            M = jnp.where(valid & (lane > 0) & (jj > 0), M, 0.0)
+
+            sc = jnp.maximum(jnp.maximum(jnp.max(M), jnp.max(X)),
+                             jnp.max(Y))
+            sc = jnp.where(sc > 0, sc, jnp.array(1.0, f))
+            inv = 1.0 / sc
+            M, X, Y = M * inv, X * inv, Y * inv
+            rM = jnp.concatenate([M, rM[:-Lp] * inv])
+            rX = jnp.concatenate([X, rX[:-Lp] * inv])
+            rY = jnp.concatenate([Y, rY[:-Lp] * inv])
+            cum = cum + jnp.log(sc)
+            return (rM, rX, rY, cum), ((M, X, Y), cum)
+
+        ds = jnp.arange(1, D)
+        carry0 = (jnp.concatenate([M0, jnp.zeros(((G - 1) * Lp,), f)]),
+                  ring0, ring0, jnp.array(0.0, f))
+        _, ((Ms, Xs, Ys), cums) = lax.scan(step, carry0,
+                                           (ds, msp_sh[1:]))
+        fM = jnp.concatenate([M0[None], Ms], axis=0)
+        fX = jnp.concatenate([jnp.zeros((1, Lp), f), Xs], axis=0)
+        fY = jnp.concatenate([jnp.zeros((1, Lp), f), Ys], axis=0)
+        fcum = jnp.concatenate([jnp.zeros((1,), f), cums])
+        return fM, fX, fY, fcum
+
+    return core
+
+
+def _build_bwd_fanin_gather(KFL, KFR, G):
+    def core(msp_sh, lfoff, lfw, rfoff_rext, rfw_rext, consts, Ldp,
+             Rdp, seed_block):
+        D, Lp = msp_sh.shape
+        f = msp_sh.dtype
+        ext_p, gcgo, nggo, ng2, gcng = [consts[k] for k in range(5)]
+        lane = jnp.arange(Lp)
+        zero = jnp.zeros((Lp,), f)
+        Ext = rfoff_rext.shape[1]
+        base = Ext - Lp - 2
+        corner_d = Ldp + Rdp - 2
+        Gs = seed_block.shape[0]
+        clim = jnp.array(np.log(np.finfo(np.dtype(f).name).max) - 2.0, f)
+
+        oL = lfoff.T.astype(jnp.int32)           # (KFL, Lp)
+        lwT = lfw.T
+        ring0 = jnp.zeros((G * Lp,), f)
+
+        idxL = (oL - 1) * Lp + lane[None, :] + oL
+        okL = (oL > 0) & (oL <= G) & (lane[None, :] + oL < Lp)
+        idxLc = jnp.clip(idxL, 0, G * Lp - 1)
+
+        def step(carry, xs):
+            rq, rX, rY, cum = carry              # ring[g] = diag d+1+g
+            d, msp = xs
+            start = base - d
+            rfoff = lax.dynamic_slice(rfoff_rext, (0, start), (KFR, Lp))
+            rfw = lax.dynamic_slice(rfw_rext, (0, start), (KFR, Lp))
+            jj = d - lane
+            valid = (jj >= 0) & (jj < Rdp) & (lane < Ldp)
+
+            # A: bX at (i+o, j) over left fwd edges (no weights)
+            A = jnp.sum(jnp.where(okL, jnp.take(rX, idxLc), 0.0),
+                        axis=0)
+            # B: bY at (i, j+o) over right fwd edges
+            oR = rfoff
+            idxR = jnp.clip((oR - 1) * Lp + lane[None, :], 0,
+                            G * Lp - 1)
+            okR = (oR > 0) & (oR <= G)
+            B = jnp.sum(jnp.where(okR, jnp.take(rY, idxR), 0.0),
+                        axis=0)
+            # T: bM*ms at the target cell (i+s, j+r), both edge weights
+            ot = oL[:, None, :] + oR[None, :, :]
+            idxM = jnp.clip((ot - 1) * Lp + lane[None, None, :]
+                            + oL[:, None, :], 0, G * Lp - 1)
+            okM = (oL[:, None, :] > 0) & (oR[None, :, :] > 0) & \
+                (ot <= G) & \
+                (lane[None, None, :] + oL[:, None, :] < Lp)
+            contrib = jnp.take(rq, idxM) * lwT[:, None, :] \
+                * rfw[None, :, :]
+            T = jnp.sum(jnp.where(okM, contrib, 0.0), axis=(0, 1))
+
+            X = ext_p * A + gcgo * B + gcng * T
+            Y = ext_p * B + gcgo * A + gcng * T
+            M = nggo * A + nggo * B + ng2 * T
+
+            idx = corner_d - d
+            seed = jnp.where(
+                (idx >= 0) & (idx < Gs),
+                lax.dynamic_slice(seed_block,
+                                  (jnp.clip(idx, 0, Gs - 1), 0),
+                                  (1, Lp))[0],
+                zero)
+            M = M + seed * jnp.exp(-jnp.clip(cum, -clim, clim))
+            X = jnp.where(valid, X, 0.0)
+            Y = jnp.where(valid, Y, 0.0)
+            M = jnp.where(valid, M, 0.0)
+
+            sc = jnp.maximum(jnp.maximum(jnp.max(M), jnp.max(X)),
+                             jnp.max(Y))
+            sc = jnp.where(sc > 0, sc, jnp.array(1.0, f))
+            inv = 1.0 / sc
+            M, X, Y = M * inv, X * inv, Y * inv
+            q = M * msp
+            rq = jnp.concatenate([q, rq[:-Lp] * inv])
+            rX = jnp.concatenate([X, rX[:-Lp] * inv])
+            rY = jnp.concatenate([Y, rY[:-Lp] * inv])
+            cum = cum + jnp.log(sc)
+            return (rq, rX, rY, cum), ((M, X, Y), cum)
+
+        ds = jnp.arange(D - 1, -1, -1)
+        carry0 = (ring0, ring0, ring0, jnp.array(0.0, f))
+        _, ((Ms, Xs, Ys), cums) = lax.scan(step, carry0,
+                                           (ds, msp_sh[::-1]))
+        return Ms[::-1], Xs[::-1], Ys[::-1], cums[::-1]
+
+    return core
+
+
+_fanin_gather_cache: dict = {}
+
+
+def _fanin_gather_fills(KL, KR, KFL, KFR, G):
+    key = (KL, KR, KFL, KFR, G)
+    if key not in _fanin_gather_cache:
+        _fanin_gather_cache[key] = (
+            jax.jit(_build_fwd_fanin_gather(KL, KR, G)),
+            jax.jit(_build_bwd_fanin_gather(KFL, KFR, G)))
+    return _fanin_gather_cache[key]

@@ -201,3 +201,53 @@ def test_progressive_sample_path_on_device(model, monkeypatch):
                             settings=settings)
     assert "oracle" not in called
     assert len(res.alignment) == 4
+
+
+def test_long_bridge_ancestor_planes_match_oracle(model):
+    """Ancestors whose indel bridge skips more than 8 sites (any real
+    deletion) must take the GATHER probability cores, not the oracle
+    loops — the round-2 era one-hot caps silently punted these."""
+    rng = np.random.default_rng(123)
+    base = rng.choice(list("ACGT"), size=50)
+    s1 = "".join(base)
+    s2 = s1[:15] + s1[29:]            # 14-char deletion -> bridge o=15
+    g1 = build_leaf_graph(s1, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    anc, _ = align_pair(g1, g2, model, AlignSettings())
+    leaf = build_leaf_graph(s1, alph.DNA)
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats
+    KL, OL = fanin_stats(anc)
+    assert OL > 8
+    assert fanin_fullprob_eligible(anc, leaf)
+
+    import copy
+    a, end, s = _filled_oracle(copy.deepcopy(anc), copy.deepcopy(leaf),
+                               model)
+    planes = FullProbPlanes(anc, leaf, model, s)
+    assert planes.fanin
+    assert planes.total_fwd_score() == pytest.approx(end.fwd_score,
+                                                     rel=1e-8)
+    assert np.exp(planes.log_total_bwd) == pytest.approx(
+        a.bwd_full_probability, rel=1e-8)
+    _assert_cells_match(planes, a)
+
+
+def test_long_bridge_sampler_matches_oracle(model):
+    rng = np.random.default_rng(77)
+    base = rng.choice(list("ACGT"), size=40)
+    s1 = "".join(base)
+    s2 = s1[:12] + s1[24:]
+    g1 = build_leaf_graph(s1, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    anc, _ = align_pair(g1, g2, model, AlignSettings())
+    leaf = build_leaf_graph(s1, alph.DNA)
+    s = replace(AlignSettings(), compute_full_score=True,
+                sample_path=True)
+    import copy
+    a = PairAligner(copy.deepcopy(anc), copy.deepcopy(leaf), model, s)
+    a.fill()
+    opath, _ = a.sample_path(np.random.default_rng(4))
+    planes = FullProbPlanes(anc, leaf, model, s)
+    dpath, _ = sample_path_planes(planes, s, np.random.default_rng(4))
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in dpath]
