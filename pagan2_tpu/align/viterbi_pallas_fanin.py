@@ -535,9 +535,15 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
     B = len(inputs)
     OLm = max(i["OL"] for i in inputs)
     ORm = max(i["OR"] for i in inputs)
-    Bc = pick_chunk(B, Lp, OLm + ORm)
-    pad = (-B) % Bc
-    padded = inputs + [inputs[0]] * pad
+    # pad small batches to 8 sublanes when VMEM allows: shrinking
+    # generations then reuse ONE compiled kernel instead of one per
+    # batch size (compiles are minutes on TPU and not always cached)
+    B_eff = B
+    if B < 8 and _chunk_vmem(8, Lp, OLm + ORm) <= VMEM_BUDGET:
+        B_eff = 8
+    Bc = pick_chunk(B_eff, Lp, OLm + ORm)
+    target = -(-max(B_eff, B) // Bc) * Bc
+    padded = inputs + [inputs[0]] * (target - B)
     args, meta = pallas_fanin_args(padded, Lp, Rp, KL, KR)
     bp, sM, sX, sY = pallas_fanin_fill(
         args["fscal"], args["iscal"], args["loff"], args["llw"],

@@ -439,8 +439,27 @@ def sheared_align_path(left: SequenceGraph, right: SequenceGraph,
     band: optional (upper, lower) per-row column bounds from the
     anchoring pipeline. If the banded DP cannot reach the end corner the
     full matrix is recomputed (the reference's anchored-DP fallback,
-    viterbi_alignment.cpp:298-317)."""
+    viterbi_alignment.cpp:298-317).
+
+    Accelerator backends take the unrolled pallas kernel (the scan core
+    below issues one tiny step per diagonal and round-trips HBM there —
+    milli-GCUPS on TPU regardless of shape); the scan stays for CPU."""
     from .viterbi_jax import _backtrack_arrays
+    from . import viterbi_pallas as vp
+
+    # pair-end break penalties are positional on the j side; the pallas
+    # kernel reconstructs j-side penalties from scalars, so those runs
+    # keep the vector scan core
+    if (vp.INTERPRET or jax.default_backend() != "cpu") \
+            and not settings.pair_end_reads:
+        try:
+            return vp.pallas_align_path(left, right, model, settings,
+                                        left_branch_length,
+                                        right_branch_length, band=band)
+        except Exception as e:       # pragma: no cover - defensive
+            from ..utils import log_out
+            log_out("pallas linear fill failed (%s: %s); using the "
+                    "scan core" % (e.__class__.__name__, e), 1)
 
     inp = prepare_sheared(left, right, model, settings, dtype)
     upper = band[0] if band else None

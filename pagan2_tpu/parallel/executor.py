@@ -368,6 +368,21 @@ def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     import time
     import jax
     from ..align.viterbi_sheared import batched_sheared_fill
+    from ..align import viterbi_pallas as vp
+
+    # single-shard accelerator launches take the unrolled pallas kernel
+    # (the scan core issues one tiny step per diagonal and round-trips
+    # HBM there — milli-GCUPS on TPU regardless of batch size)
+    if (vp.INTERPRET or jax.default_backend() != "cpu") \
+            and n_shards == 1:
+        try:
+            _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp,
+                                        engine)
+            return
+        except Exception as e:       # pragma: no cover - defensive
+            log_out("pallas batched linear fill failed (%s: %s); "
+                    "using the scan core"
+                    % (e.__class__.__name__, e), 1)
 
     t_launch = time.perf_counter()
     B = len(idxs)
@@ -397,6 +412,94 @@ def _launch_sheared_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     for b, i in enumerate(idxs):
         results[i] = _finish_sheared(jobs[i], inputs[b], bp[b], final[b],
                                      engine)
+
+
+def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
+    """Batched unrolled pallas fill for a bucket of linear-chain jobs
+    (the production TPU path; per-job prep and the fold+shear of match
+    scores run on device via pallas_job_arrays)."""
+    import time
+    import jax.numpy as jnp  # noqa: F401  (device context)
+    from ..align.viterbi_pallas import (pallas_job_arrays,
+                                        pallas_batch_args, pallas_fill,
+                                        unpack_bp, _add_scalar_params,
+                                        _lane_bucket, _OffsetBP)
+    from ..align.viterbi_sheared import (prepare_sheared, _ShearedCells,
+                                         _end_corner_linear)
+    from ..align.viterbi_jax import _backtrack_arrays
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.oracle import PathPtr
+    from ..utils import fetch_np
+
+    Lpp = _lane_bucket(Lp)
+    Dpk = Lpp + Rp - 2
+    # sub-chunk so one launch's sheared stream stays under ~1 GB f32
+    max_b = max(1, (1 << 28) // max(Dpk * Lpp, 1))
+    for c0 in range(0, len(idxs), max_b):
+        part = idxs[c0:c0 + max_b]
+        t_launch = time.perf_counter()
+        pjobs = []
+        inputs = []
+        for i in part:
+            job = jobs[i]
+            s = job.settings.for_reads() if job.is_reads_sequence \
+                else job.settings
+            inp = prepare_sheared(job.left, job.right, job.model, s,
+                                  np.float32)
+            _add_scalar_params(inp)
+            inputs.append(inp)
+            pjobs.append(pallas_job_arrays(inp, Lpp, Rp, band=job.band))
+        # pad the batch to >= 8 / a power of two so shrinking
+        # generations reuse ONE compiled kernel per shape bucket
+        # (compiles are minutes on TPU and not always cached)
+        pad_to = 8
+        while pad_to < len(pjobs):
+            pad_to *= 2
+        pad_to = min(pad_to, max_b) if max_b >= 8 else len(pjobs)
+        while len(pjobs) < pad_to:
+            pjobs.append(pjobs[0])
+        args = pallas_batch_args(pjobs, Lpp, Rp)
+        bpp, fM, fX, fY = pallas_fill(*args)
+        bp = unpack_bp(bpp)
+        fM, fX, fY = fetch_np(fM), fetch_np(fX), fetch_np(fY)
+        EXEC_STATS["launches"] += 1
+        EXEC_STATS["batched_jobs"] += len(part)
+        EXEC_STATS["batched_cells"] += sum(
+            inp["L"] * inp["R"] for inp in inputs)
+        log_out("batched launch: %d jobs (bucket %dx%d, pallas)"
+                % (len(part), Lpp, Rp), 3)
+        EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
+        for b, i in enumerate(part):
+            job = jobs[i]
+            s = job.settings.for_reads() if job.is_reads_sequence \
+                else job.settings
+            L, R = inputs[b]["L"], inputs[b]["R"]
+            li = L - 1
+            final = np.array([fM[b, li], fX[b, li], fY[b, li]])
+            if job.band is not None and not np.isfinite(final).any():
+                # anchored fill dead-ended: full-matrix retry
+                # (viterbi_alignment.cpp:298-317)
+                job.band = None
+                results[i] = _run_single(job, engine)
+                continue
+            cells = _ShearedCells.__new__(_ShearedCells)
+            cells.bp = _OffsetBP(bp[:, b, :])
+            cells.left = job.left
+            cells.right = job.right
+            end = _end_corner_linear(final, job.left, job.right,
+                                     job.model, L, R)
+            end.bwd_score = 1.0
+            end.full_score = 1.0
+            path = _backtrack_arrays(cells, job.left, job.right,
+                                     PathPtr(end, True), L, R,
+                                     job.left_branch_length,
+                                     job.right_branch_length)
+            anc = build_ancestral_graph(
+                job.left, job.right, path, job.model, s,
+                job.left_branch_length, job.right_branch_length,
+                job.is_reads_sequence,
+                compute_consensus=job.compute_consensus)
+            results[i] = (anc, end)
 
 
 def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,

@@ -162,3 +162,31 @@ def test_sample_path_jobs_batch_through_executor(monkeypatch):
                               settings=s)
     assert {e.name: e.sequence for e in res_b.alignment} == \
         {e.name: e.sequence for e in res_s.alignment}
+
+
+def test_batched_linear_pallas_launch_matches_singles(monkeypatch):
+    """On accelerator backends the batched linear launch takes the
+    unrolled pallas kernel (the scan core is dispatch-bound on TPU);
+    results must match per-job pallas fills exactly (both f32 — the
+    f64 scan core may flip near-ties, which is the usual f32 kernel
+    caveat, not a batching artifact)."""
+    from pagan2_tpu.align import viterbi_pallas as vp
+    entries = _family(8, length=90, seed=21)
+    newick = _balanced_tree(8)
+
+    monkeypatch.setattr(vp, "INTERPRET", True)
+    executor.reset_stats()
+    res_p = align_progressive(entries, newick, data_type=alph.DNA)
+    stats = dict(executor.EXEC_STATS)
+    assert stats["batched_jobs"] >= 4, stats
+
+    orig = executor._plan_job
+
+    def plan(job):
+        kind = orig(job)
+        return "single" if kind == "batch" else kind
+    monkeypatch.setattr(executor, "_plan_job", plan)
+    executor.reset_stats()
+    res_s = align_progressive(entries, newick, data_type=alph.DNA)
+    assert {e.name: e.sequence for e in res_p.alignment} == \
+        {e.name: e.sequence for e in res_s.alignment}
