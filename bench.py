@@ -38,10 +38,17 @@ def slope_time(fill, fetch, on_tpu, k1=None, k2=None):
         return time.perf_counter() - t0
 
     ests = []
+    floors = []
     for _ in range(trials):
         tA, tB = run(K1), run(K2)
         ests.append((tB - tA) / (K2 - K1))
-    return min(ests)
+        floors.append(tB / K2)
+    # dispatch jitter can make the K1 run slower than the K2 run and
+    # the slope negative/meaningless; keep the smallest POSITIVE slope
+    # and fall back to the best whole-run average (an upper bound on
+    # the true per-fill time) if jitter swamped every trial
+    pos = [e for e in ests if e > 0]
+    return min(pos) if pos else min(floors)
 
 
 def _mut(rng, base, p=0.1):

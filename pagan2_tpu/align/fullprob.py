@@ -189,6 +189,30 @@ _fwd_fill_batched = jax.jit(jax.vmap(_fwd_core))
 _bwd_fill_batched = jax.jit(jax.vmap(_bwd_core))
 
 
+def linear_plane_fills(msp_b, wr_b, wl_b, consts_b, Ldp_b, Rdp_b,
+                       seeds_b):
+    """Batched (B, ...) fwd+bwd plane fills. Accelerator backends take
+    the pallas kernels (the scan cores' while-loop carry round-trips
+    HBM per diagonal — ~6 s per 2 kb pair on TPU); CPU keeps the
+    vmapped scans."""
+    from . import fullprob_pallas as fpp
+    if fpp.INTERPRET or jax.default_backend() != "cpu":
+        try:
+            fwd = fpp.fullprob_fwd_pallas(msp_b, wr_b, wl_b, consts_b,
+                                          Ldp_b, Rdp_b)
+            bwd = fpp.fullprob_bwd_pallas(msp_b, wr_b, wl_b, consts_b,
+                                          Ldp_b, Rdp_b, seeds_b)
+            return fwd, bwd
+        except Exception as e:       # pragma: no cover - defensive
+            from ..utils import log_out
+            log_out("pallas full-prob fill failed (%s: %s); using the "
+                    "scan cores" % (e.__class__.__name__, e), 1)
+    fwd = _fwd_fill_batched(msp_b, wr_b, wl_b, consts_b, Ldp_b, Rdp_b)
+    bwd = _bwd_fill_batched(msp_b, wr_b, wl_b, consts_b, Ldp_b, Rdp_b,
+                            seeds_b)
+    return fwd, bwd
+
+
 def linear_fullprob_inputs(left, right, model, dtype=np.float64,
                            Lp=None, Rp=None):
     """Host-side numpy inputs for the linear scaled scans — per-job and
@@ -257,13 +281,17 @@ class FullProbPlanes:
             inp = linear_fullprob_inputs(left, right, model, dtype)
             self.w_lstop = inp["w_lstop"]
             self.w_rstop = inp["w_rstop"]
-            args = (jnp.asarray(inp["msp_sh"]),
-                    jnp.asarray(inp["wr_rext"]), jnp.asarray(inp["wl"]),
-                    jnp.asarray(inp["consts"]), jnp.int32(L),
-                    jnp.int32(R))
-            fM, fX, fY, fcum = _fwd_fill(*args)
-            bM, bX, bY, bcum = _bwd_fill(*args,
-                                         jnp.asarray(inp["seed"]))
+            args = (jnp.asarray(inp["msp_sh"][None]),
+                    jnp.asarray(inp["wr_rext"][None]),
+                    jnp.asarray(inp["wl"][None]),
+                    jnp.asarray(inp["consts"][None]),
+                    jnp.full((1,), L, jnp.int32),
+                    jnp.full((1,), R, jnp.int32),
+                    jnp.asarray(np.array([inp["seed"]])))
+            (fM, fX, fY, fcum), (bM, bX, bY, bcum) = \
+                linear_plane_fills(*args)
+            fM, fX, fY, fcum = fM[0], fX[0], fY[0], fcum[0]
+            bM, bX, bY, bcum = bM[0], bX[0], bY[0], bcum[0]
         else:
             m = model
             lstates = np.asarray(left.states[:L], np.int32)

@@ -683,8 +683,11 @@ def _launch_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
         spec = NamedSharding(mesh, P("jobs"))
         args = [jax.device_put(a, spec) for a in args]
         seeds = jax.device_put(seeds, spec)
-    fM, fX, fY, fcum = fp._fwd_fill_batched(*args)
-    bM, bX, bY, bcum = fp._bwd_fill_batched(*args, seeds)
+        fM, fX, fY, fcum = fp._fwd_fill_batched(*args)
+        bM, bX, bY, bcum = fp._bwd_fill_batched(*args, seeds)
+    else:
+        (fM, fX, fY, fcum), (bM, bX, bY, bcum) = \
+            fp.linear_plane_fills(*args, seeds)
 
     # batched Viterbi fill for the jobs that follow the best path
     # (sampling jobs draw their path from the planes instead)
