@@ -381,14 +381,19 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             # side-effect-free on the live tree.
             import copy as _copy
             from ..parallel.executor import PairJob, execute_pair_jobs
+            # one target copy per candidate and one read copy per
+            # strand, shared across that query's jobs (the sequential
+            # path shared the live graphs the same way)
+            strand_copies = [_copy.deepcopy(fwd_graph)]
+            if rc_graph is not None:
+                strand_copies.append(_copy.deepcopy(rc_graph))
             jobs = []
             for name in cand:
                 t = nodes_map[name]
-                for g in ((fwd_graph,) if rc_graph is None
-                          else (fwd_graph, rc_graph)):
+                tcopy = _copy.deepcopy(t.graph)
+                for g in strand_copies:
                     jobs.append(PairJob(
-                        left=_copy.deepcopy(t.graph),
-                        right=_copy.deepcopy(g), model=model,
+                        left=tcopy, right=g, model=model,
                         settings=settings, left_branch_length=0.001,
                         right_branch_length=cfg.query_distance,
                         is_reads_sequence=True, key=name))
