@@ -115,7 +115,9 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
     Returns (ancestral_graph, end_pointer).
     """
     settings = settings or AlignSettings()
-    if is_reads_sequence:
+    if is_reads_sequence or settings.keep_all_edges:
+        # --keep-all-edges widens the skip limits for ordinary
+        # alignments too (viterbi_alignment.cpp:206)
         settings = settings.for_reads()
 
     if settings.pair_end_reads and settings.reduced_terminal_gap_penalties:
@@ -142,8 +144,13 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             rng = rng or _RNG or np.random.default_rng()
         from .fullprob import fanin_fullprob_eligible
         linear_pair = is_linear_chain(left) and is_linear_chain(right)
+        # pair-end runs stay on device: the reference's fwd/bwd
+        # probability passes use the PLAIN gap_ext() for every gap type
+        # (viterbi_alignment.cpp:2151-2154), so the probability planes
+        # are pair-end-agnostic; only the Viterbi fill carries the
+        # break penalties, which the sheared/fan-in kernels already do
+        # through their positional gext vectors.
         use_device = (engine in ("jax", "auto")
-                      and not settings.pair_end_reads
                       and (linear_pair or
                            fanin_fullprob_eligible(left, right)))
         from ..io import plots

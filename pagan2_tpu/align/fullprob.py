@@ -432,8 +432,10 @@ class FullProbPlanes:
                 seed_block[corner_d - (li + ri), li] = \
                     m.non_gap() * wl * wr
 
-        if OLm <= 8 and ORm <= 8:
-            # bounded offsets (454/homopolymer): one-hot cores
+        if OLm <= 8 and ORm <= 8 and KL <= 8 and KR <= 8:
+            # bounded offsets AND bounded fan-in (454/homopolymer):
+            # one-hot cores (they compile KL*KR*OLm*ORm selects, so
+            # deep fan-in routes to the gather cores below instead)
             fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
             args = (msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
                     jnp.asarray(roff_rext), jnp.asarray(rwp_rext),
@@ -763,29 +765,15 @@ def sample_path_planes(planes: FullProbPlanes, settings: AlignSettings,
 #   (initialise_array_corner_bwd, :740-830), injected per diagonal from
 #   a small host-built seed block.
 # ----------------------------------------------------------------------
-def _max_fanout(g) -> int:
-    n = g.num_sites() - 1
-    k = 1
-    for i in range(n):
-        c = sum(1 for e in g.fwd[i] if int(g.edges.end[e]) < n)
-        if c > k:
-            k = c
-    return k
-
-
 def fanin_fullprob_eligible(left, right) -> bool:
-    """Device full-prob eligibility for graph pairs: bounded-offset
-    graphs (454/homopolymer) take the one-hot cores; long bridge edges
-    (ancestors spanning big indels) take the gather cores up to the
-    ring cap. Beyond these the oracle's host loops remain."""
-    from .viterbi_fanin import fanin_stats
-    KL, OL = fanin_stats(left)
-    KR, OR = fanin_stats(right)
-    if KL > 8 or KR > 8 or OL + OR > 64:
-        return False
-    if OL <= 8 and OR <= 8:
-        return True
-    return _max_fanout(left) <= 8 and _max_fanout(right) <= 8
+    """Device full-prob eligibility for graph pairs: always true.
+    Bounded-offset, bounded-fan-in graphs (454/homopolymer) take the
+    one-hot cores; everything else — long bridge edges, deep fan-in,
+    wide fan-out — takes the gather cores, whose edge-slot count K and
+    ring depth G are runtime shapes, not compile-time caps (the
+    reference fwd/bwd runs on any graph, viterbi_alignment.cpp:329-371,
+    2259-2305; the only remaining oracle use is engine="oracle")."""
+    return True
 
 
 def _shift_r(v, o):

@@ -69,6 +69,10 @@ class AlignSettings:
     # alignment entirely (Settings::tunneling_coverage; only activated
     # when a queryfile is present, settings.cpp:392-397)
     anchoring_threshold: float = 1.0
+    # --keep-all-edges: apply the permissive reads-alignment skip
+    # settings to every alignment, not only read alignments
+    # (viterbi_alignment.cpp:206)
+    keep_all_edges: bool = False
 
     def for_reads(self) -> "AlignSettings":
         """set_reads_alignment_settings (basic_alignment.h:572-586)."""

@@ -77,7 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--prune-keep-number", type=int, default=0,
                    help="prune output, keep N most distant sequences")
     g.add_argument("--prune-keep-threshold", type=float,
-                   help="accepted for compatibility")
+                   help="prune output, drop references closer than this "
+                        "tree distance (keeps the longer sequence)")
     g.add_argument("--prune-keep-closest", action="store_true",
                    help="prune output, keep only closest references")
     g.add_argument("--trim-extended-alignment", action="store_true",
@@ -199,17 +200,20 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--use-duplicate-weights", action="store_true",
                    help="use NumDuplicates=# to weight consensus counts")
     r.add_argument("--rank-reads-for-nodes", action="store_true",
-                   help="rank reads within nodes for alignment")
+                   help="rank reads within nodes for alignment (score "
+                        "queries even when their TID matches one node)")
     r.add_argument("--tid-for-subroot", action="store_true",
-                   help="accepted for compatibility (TID bookkeeping "
-                        "of spliced subroots)")
+                   help="spliced parent inherits the target's NHX TID")
     r.add_argument("--quick", action="store_true",
                    help="quick reference-alignment reconstruction "
                         "(single model at distance 0.5)")
     r.add_argument("--perfect-reference", action="store_true",
                    help="assume perfect reference alignment")
     r.add_argument("--recompute-reference-alignment-model",
-                   action="store_true", help="accepted for compatibility")
+                   action="store_true",
+                   help="accepted for compatibility (dead flag in the "
+                        "reference too: no consumer outside "
+                        "settings.cpp:273)")
     r.add_argument("--no-read-ordering", action="store_true",
                    help="accepted for compatibility (dead flag in the "
                         "reference too)")
@@ -223,10 +227,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="do not use Q-scores")
     r.add_argument("--qscore-minimum", type=int, default=10,
                    help="threshold to mask low Q-score sites")
-    r.add_argument("--allow-skip-low-qscore", action="store_true")
-    r.add_argument("--454-skip-low-qscore", action="store_true",
-                   dest="skip454_low_qscore",
-                   help="accepted for compatibility")
+    # --454-skip-low-qscore is an alias: the reference checks
+    # "allow-skip-low-qscore" (sequence.cpp:502) though settings.cpp
+    # never registers it; both spellings enable the low-qscore skip
+    # edges here
+    r.add_argument("--allow-skip-low-qscore", "--454-skip-low-qscore",
+                   action="store_true", dest="allow_skip_low_qscore")
     r.add_argument("--find-orfs", action="store_true",
                    help="find ORFs, align translations (DNA)")
     r.add_argument("--min-orf-length", type=int, default=50,
@@ -292,6 +298,21 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--full-help", action="help",
                    help="show this help message (alias of --help)")
 
+    # placement speed modes: the reference's exonerate-subprocess
+    # preselection (settings.cpp:355-380) maps to the native k-mer
+    # candidate preselection (_preselect_candidates)
+    s = p.add_argument_group("placement speed")
+    s.add_argument("--fast-placement", action="store_true",
+                   help="k-mer-preselect the 5 best candidate nodes "
+                        "before full scoring")
+    s.add_argument("--very-fast-placement", action="store_true",
+                   help="k-mer-preselect the single best candidate node")
+    s.add_argument("--own-placement", action="store_true",
+                   help="disable candidate preselection")
+    s.add_argument("--use-exonerate-local", action="store_true",
+                   help="enable candidate preselection (native k-mer "
+                        "stand-in for exonerate)")
+
     # external-tool tuning accepted for CLI compatibility: the NCBI
     # BLAST / Exonerate subprocesses of the reference are replaced by
     # the native k-mer/prefix anchoring and candidate scoring
@@ -299,11 +320,7 @@ def build_parser() -> argparse.ArgumentParser:
     c = p.add_argument_group("external-tool compatibility (no-ops)")
     for flag, kw in [
             ("--no-ncbi", dict(action="store_true")),
-            ("--fast-placement", dict(action="store_true")),
-            ("--very-fast-placement", dict(action="store_true")),
             ("--old-placement", dict(action="store_true")),
-            ("--own-placement", dict(action="store_true")),
-            ("--use-exonerate-local", dict(action="store_true")),
             ("--use-exonerate-gapped", dict(action="store_true")),
             ("--keep-despite-exonerate-fails", dict(action="store_true")),
             ("--exonerate-local-keep-best", dict(type=int, default=6)),
@@ -436,6 +453,7 @@ def make_settings(args):
         # (settings.cpp:392-397)
         anchoring_threshold=(args.anchoring_threshold if args.queryfile
                              else 1.0),
+        keep_all_edges=args.keep_all_edges,
     )
     if args.seed is not None:
         from .align import set_sampling_seed
@@ -545,6 +563,7 @@ def post_outputs(args, tree, alignment, data_type):
         outs = prune_extended_alignment(
             tree, alignment, keep_number=args.prune_keep_number,
             keep_closest=args.prune_keep_closest,
+            keep_threshold=args.prune_keep_threshold,
             trim=args.trim_extended_alignment,
             trim_keep_sites=args.trim_keep_sites)
         for suffix, entries, ptree in outs:
@@ -660,6 +679,11 @@ def main(argv=None) -> int:
         args = parser.parse_args(cfg_args + clean)
     if args.config_log_file:
         write_config_log(args.config_log_file, argv, cfg_args)
+    # --use-aa-groups flips the protein alphabet globally before any
+    # model or graph is built (define_protein_alphabet_groups,
+    # model_factory.cpp:670-838)
+    from .models import alphabets as _alph
+    _alph.set_protein_groups(args.use_aa_groups)
     if args.version:
         from . import __version__
         print("pagan2-tpu v%s (TPU-native PAGAN2)" % __version__)
@@ -864,10 +888,34 @@ def main(argv=None) -> int:
                 guided=args.guided or args.no_preselection,
                 score_only_ungapped=args.score_only_ungapped,
                 score_ungapped_limit=args.score_ungapped_limit,
-                assembly=args.assembly)
+                assembly=args.assembly,
+                fragments=args.fragments,
+                rank_reads_for_nodes=args.rank_reads_for_nodes,
+                tid_for_subroot=args.tid_for_subroot,
+                score_as_dna=args.score_as_dna,
+                # exonerate preselection equivalents
+                # (settings.cpp:355-380, :415-417)
+                preselect_keep_best=(
+                    0 if args.own_placement else
+                    1 if args.very_fast_placement else
+                    5 if args.fast_placement else
+                    (max(args.exonerate_local_keep_best, 0)
+                     if args.use_exonerate_local else 0)))
+            if cfg.score_as_dna and args.translate \
+                    and not args.terminal_nodes:
+                # reads_aligner.cpp:2940: '--score-as-dna' with
+                # '--translate' requires '--terminal-nodes'
+                from .utils import log_out
+                log_out("combination '--translate' and '--score-as-dna' "
+                        "can only be used with option "
+                        "'--terminal-nodes'!\n", 0)
+                from dataclasses import replace as _replace
+                cfg = _replace(cfg, terminal_nodes=True,
+                               internal_nodes=False, all_nodes=False)
             outcome = place_queries(res, queries, data_type, cfg,
                                     model_factory=mf, settings=settings,
-                                    mesh=_make_mesh(args))
+                                    mesh=_make_mesh(args),
+                                    dna_map=dna_map)
             res = outcome.result
             if args.output_discarded_queries and outcome.discarded:
                 from .io.fasta import write_fasta

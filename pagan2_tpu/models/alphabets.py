@@ -244,6 +244,92 @@ def protein_alphabet() -> Alphabet:
     return _paired_alphabet(20, list(PROTEIN_CHARS), "X", pi, q, PROTEIN)
 
 
+# --use-aa-groups residue groups (model_factory.cpp:678-683): the 31
+# fixed multi-residue ambiguity classes appended to the 20 amino acids;
+# index 50 doubles as the X wildcard (all residues).
+PROTEIN_GROUPS = [
+    "A", "R", "N", "D", "C", "Q", "E", "G", "H", "I", "L", "K", "M",
+    "F", "P", "S", "T", "W", "Y", "V",
+    "NG", "HA", "IV", "ST", "QE", "ML", "RK", "ED", "CV", "FY", "RKQ",
+    "AST", "HML", "NED", "TIV", "MLF", "CIV", "LFY", "IML", "NAST",
+    "HRKQ", "ASTG", "MLFY", "LFYW", "RKHSA", "HRKQSTA", "HRKQNEDSTA",
+    "HRKQNEDSTPA", "HRKQNEDSTGPA", "HRKQNEDSTGPACVIM",
+    "HRKQNEDSTGPACVIMLFYW",
+]
+PROTEIN_GROUP_CHARS = "ARNDCQEGHILKMFPSTWYVabcdefghijklmnopqrstuvxyz12345X"
+
+
+@functools.lru_cache(maxsize=None)
+def protein_groups_alphabet() -> Alphabet:
+    """--use-aa-groups: 51-state protein parsimony alphabet whose
+    ambiguity states are fixed residue groups
+    (model_factory.cpp:670-838, define_protein_alphabet_groups).
+
+    The reference hardcodes the 51x51 parsimony table; here it is
+    derived from the group definitions themselves: when one state's
+    residue set contains the other's, the parent is the contained
+    (smaller) state; otherwise it is the smallest group containing
+    members(i) | members(j), lowest index winning ties — which
+    reproduces the reference's 51x51 literal exactly (full-table
+    equality asserted in tests).
+    child_parsimony keeps the child state unless every parent residue
+    is included in the child's group (model_factory.cpp:757-785)."""
+    n_canon = 20
+    n_full = len(PROTEIN_GROUPS)
+    groups = [frozenset(g) for g in PROTEIN_GROUPS]
+    order = sorted(range(n_full), key=lambda k: (len(groups[k]), k))
+
+    def smallest_containing(s: frozenset) -> int:
+        for k in order:
+            if s <= groups[k]:
+                return k
+        raise AssertionError("group cover missing")  # 50 covers all
+
+    parsimony = np.zeros((n_full, n_full), dtype=np.int32)
+    child_parsimony = np.zeros_like(parsimony)
+    for i in range(n_full):
+        for j in range(n_full):
+            if groups[i] <= groups[j]:
+                parsimony[i, j] = smallest_containing(groups[i])
+            elif groups[j] <= groups[i]:
+                parsimony[i, j] = smallest_containing(groups[j])
+            else:
+                parsimony[i, j] = smallest_containing(groups[i] |
+                                                      groups[j])
+            child_parsimony[i, j] = (parsimony[i, j]
+                                     if groups[i] <= groups[j] else j)
+
+    n_units = np.array([len(g) for g in PROTEIN_GROUPS], dtype=np.int32)
+    members = np.full((n_full, int(n_units.max())), -1, dtype=np.int32)
+    for i, g in enumerate(PROTEIN_GROUPS):
+        for k, c in enumerate(g):
+            members[i, k] = PROTEIN_CHARS.index(c)
+
+    return Alphabet(
+        name=PROTEIN, n_canon=n_canon, n_full=n_full,
+        symbols=list(PROTEIN_GROUP_CHARS),
+        n_units=n_units, members=members,
+        parsimony=parsimony, child_parsimony=child_parsimony,
+        mostcommon=parsimony.copy(),
+        first_unit=members[:, 0].copy(), second_unit=members[:, 1].copy(),
+        char_to_state={c: i for i, c in enumerate(PROTEIN_GROUP_CHARS)},
+    )
+
+
+# --use-aa-groups switch (global like the reference's Settings_handle;
+# set once by the CLI before any model/graph construction)
+_USE_AA_GROUPS = False
+
+
+def set_protein_groups(on: bool):
+    global _USE_AA_GROUPS
+    _USE_AA_GROUPS = bool(on)
+
+
+def protein_groups_active() -> bool:
+    return _USE_AA_GROUPS
+
+
 @functools.lru_cache(maxsize=None)
 def codon_alphabet() -> Alphabet:
     from .model_data import ecm_matrices
@@ -256,6 +342,8 @@ def get_alphabet(name: str) -> Alphabet:
     if name == DNA:
         return dna_alphabet()
     if name == PROTEIN:
+        if _USE_AA_GROUPS:
+            return protein_groups_alphabet()
         return protein_alphabet()
     if name == CODON:
         return codon_alphabet()
@@ -268,6 +356,10 @@ def ancestral_symbols(name: str) -> list[str]:
     if name == DNA:
         return list(DNA_FULL_CHARS)
     if name == PROTEIN:
+        if _USE_AA_GROUPS:
+            # group states render as their own symbols
+            # (full_char_alphabet, model_factory.cpp:673)
+            return list(PROTEIN_GROUP_CHARS)
         a = protein_alphabet()
         from .model_data import wag_matrices
         pi, _ = wag_matrices()

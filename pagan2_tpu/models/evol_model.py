@@ -144,7 +144,11 @@ class ModelFactory:
         # the reference applies --ambiguity-factor only on the DNA / aa-group
         # paths (model_factory.cpp:1972-1989, :2105-2122); the plain protein
         # and codon pair logic takes a straight max
-        self.ambiguity_factor = ambiguity_factor if data_type == alph.DNA else 1.0
+        groups_active = (data_type == alph.PROTEIN
+                         and alph.protein_groups_active())
+        self.ambiguity_factor = (ambiguity_factor
+                                 if data_type == alph.DNA or groups_active
+                                 else 1.0)
         self.pileup_454 = pileup_454
         self.mostcommon = mostcommon
 
@@ -173,8 +177,10 @@ class ModelFactory:
                 m = int(a.members[j, k])
                 if 0 <= m < a.n_canon:
                     amb[m, j] = w
-        # the wildcard state covers every canonical residue
-        if data_type != alph.DNA:
+        # the wildcard state covers every canonical residue (the
+        # 51-group alphabet's wildcard is its last group, already
+        # covered by the member loop above)
+        if data_type != alph.DNA and a.members.shape[1] <= 2:
             amb[:, a.n_canon] = self.ambiguity_factor
         self._amb = amb
 
@@ -201,7 +207,9 @@ class ModelFactory:
         # (model_factory.cpp:1993-2017 DNA; :2155-2220 protein; :2026-2090
         # codon — for two-member pair states all reduce to this max)
         if a.n_full > a.n_canon:
-            if self.data_type == alph.DNA:
+            if self.data_type == alph.DNA or a.members.shape[1] > 2:
+                # member-indicator max-product covers DNA IUPAC states
+                # and the 51-group aa alphabet (model_factory.cpp:2105-2122)
                 amb = self._amb
                 # m1[n, j] = max_m lo[n, m] * amb[m, j]
                 m1 = np.max(lo[:, :, None] * amb[None, :, :], axis=1)

@@ -66,6 +66,28 @@ class PlacementConfig:
     score_ungapped_limit: float = 0.1
     # --assembly: placement at the subroot only (settings.cpp:279)
     assembly: bool = False
+    # --fragments: group queries by target node and insert them
+    # best-score-first per node (query_placement_all,
+    # reads_aligner.cpp:372-621; sort_reads_vector :468)
+    fragments: bool = False
+    # --rank-reads-for-nodes: score a query even when its TID matches a
+    # single node, so within-node ordering reflects real match scores
+    # (reads_aligner.cpp:2748)
+    rank_reads_for_nodes: bool = False
+    # --tid-for-subroot: a spliced parent inherits the target's NHX TID
+    # tag (reads_aligner.cpp:858-862)
+    tid_for_subroot: bool = False
+    # --score-as-dna (+ --translate --terminal-nodes): score placement
+    # candidates against the original DNA instead of the translated
+    # protein (reads_aligner.cpp:2930-2942)
+    score_as_dna: bool = False
+    # --fast-placement (5) / --very-fast-placement (1) /
+    # --exonerate-local-keep-best N: cheap k-mer preselection keeps only
+    # the N most-similar candidate nodes before full pairwise scoring —
+    # the native replacement for the reference's exonerate subprocess
+    # preselection (settings.cpp:355-380, reads_aligner.cpp:1841-1994).
+    # 0 disables preselection (--own-placement).
+    preselect_keep_best: int = 0
 
 
 @dataclass
@@ -128,6 +150,107 @@ def _read_match_score(target: TreeNode, read_graph, model, settings,
                         is_reads_sequence=True, engine=cfg.engine)
     return _match_score_from_anc(anc, target.graph, read_graph, model,
                                  cfg)
+
+
+def _preselect_candidates(entry, cand, nodes_map, keep_best: int,
+                          k: int = 11) -> list[str]:
+    """--fast-placement / --very-fast-placement: native stand-in for
+    the exonerate preselection subprocess (settings.cpp:355-380,
+    reads_aligner.cpp:1841-1994) — keep the `keep_best` candidate
+    nodes sharing the most k-mers with the query (both strands counted
+    via the max) before the full quick-pairwise scoring."""
+    if keep_best <= 0 or len(cand) <= keep_best:
+        return cand
+    q = entry.sequence.upper().replace("-", "")
+    k = min(k, max(len(q) // 2, 3))
+    qk = {q[i:i + k] for i in range(len(q) - k + 1)}
+    qrc = revcomp(q)
+    qk |= {qrc[i:i + k] for i in range(len(qrc) - k + 1)}
+
+    def kmer_score(nm):
+        g = nodes_map[nm].graph
+        s = "".join(g.unaligned_symbols()).upper()
+        return sum(s[i:i + k] in qk for i in range(len(s) - k + 1))
+
+    scored = sorted(cand, key=kmer_score, reverse=True)
+    return [nm for nm in cand if nm in set(scored[:keep_best])]
+
+
+def _build_score_jobs(entry, cand, nodes_map, fwd_graph, rc_graph, model,
+                      settings, cfg: PlacementConfig, dna_model=None,
+                      dna_map=None):
+    """Candidate-scoring jobs for one query: every (node x strand)
+    alignment as an independent PairJob for a batched launch
+    (task-parallel form of find_nodes_for_query,
+    reads_aligner.cpp:1996-2278). Graph copies keep scoring
+    side-effect-free on the live tree. With --score-as-dna and a
+    --translate'd run, candidates score against the original DNA
+    (reads_aligner.cpp:2930-2942). Returns (jobs, scoring_model,
+    strands_per_candidate)."""
+    import copy as _copy
+    from ..parallel.executor import PairJob
+    qdna = (dna_map or {}).get(entry.name) or entry.dna_sequence
+    use_dna = (dna_model is not None and qdna
+               and all(nm in (dna_map or {}) for nm in cand))
+    if use_dna:
+        fwd = build_leaf_graph(clean_sequence(qdna, alph.DNA), alph.DNA)
+        fwd.is_read_sequence = True
+        strand_copies = [fwd]
+        if rc_graph is not None:
+            rc = build_leaf_graph(clean_sequence(qdna, alph.DNA),
+                                  alph.DNA, turn_revcomp=True)
+            rc.is_read_sequence = True
+            strand_copies.append(rc)
+        tgt = {nm: build_leaf_graph(
+            clean_sequence(dna_map[nm], alph.DNA), alph.DNA)
+            for nm in cand}
+        smodel = dna_model
+    else:
+        # one target copy per candidate and one read copy per strand,
+        # shared across that query's jobs (the sequential path shared
+        # the live graphs the same way)
+        strand_copies = [_copy.deepcopy(fwd_graph)]
+        if rc_graph is not None:
+            strand_copies.append(_copy.deepcopy(rc_graph))
+        tgt = {nm: _copy.deepcopy(nodes_map[nm].graph) for nm in cand}
+        smodel = model
+    jobs = []
+    for name in cand:
+        for g in strand_copies:
+            jobs.append(PairJob(
+                left=tgt[name], right=g, model=smodel,
+                settings=settings, left_branch_length=0.001,
+                right_branch_length=cfg.query_distance,
+                is_reads_sequence=True, key=name))
+    return jobs, smodel, len(strand_copies)
+
+
+def _pick_best_nodes(cand, scores, per_strand, cfg: PlacementConfig):
+    """Tie-aware target choice from per-(node x strand) scores
+    (find_nodes_for_query score comparison, reads_aligner.cpp:2212-2278).
+    Returns (best_score, best_nodes, best_strand_rev)."""
+    best_score = -float("inf")
+    best_nodes: list[str] = []
+    best_strand_rev = False
+    for ci, name in enumerate(cand):
+        sc = scores[ci * per_strand]
+        if sc == best_score and not cfg.one_placement_only \
+                and not cfg.exhaustive_placement:
+            best_nodes.append(name)
+        elif sc >= best_score:
+            best_score = sc
+            best_nodes = [name]
+            best_strand_rev = False
+        if per_strand == 2:
+            sc = scores[ci * per_strand + 1]
+            if sc == best_score and not cfg.one_placement_only \
+                    and not cfg.exhaustive_placement:
+                best_nodes.append(name)
+            elif sc >= best_score:
+                best_score = sc
+                best_nodes = [name]
+                best_strand_rev = True
+    return best_score, best_nodes, best_strand_rev
 
 
 def _match_score_from_anc(anc, lg, rg, model,
@@ -294,13 +417,63 @@ def _reconstruct_one_parsimony(tree: TreeNode, new_node: TreeNode,
                                                      cg.states[ci]]
 
 
+def _select_best_orf(entry, cand, nodes_map, model, settings,
+                     cfg: PlacementConfig, data_type: str):
+    """Translated placement (translated_query_placement_one/_all,
+    reads_aligner.cpp:~2450+, :1353-1436): enumerate six-frame ORFs of
+    the DNA query, choose the ORF scoring best against any candidate
+    node, and return a protein entry for its translation (None when the
+    query has no long-enough ORF)."""
+    from .orfs import find_orfs as _find_orfs
+    orfs = _find_orfs(entry.sequence, entry.name,
+                      cfg.min_orf_length, cfg.min_orf_coverage,
+                      mt=cfg.mt)
+    if not orfs:
+        return None
+
+    def orf_score(o):
+        g = build_leaf_graph(o.translation, data_type)
+        g.is_read_sequence = True
+        if len(cand) == 1:
+            return len(o.translation)
+        return max(_read_match_score(nodes_map[nm], g, model,
+                                     settings, cfg)
+                   for nm in cand)
+
+    best_orf = max(orfs, key=orf_score)
+    return FastaEntry(
+        name=entry.name + "_orf1",
+        sequence=best_orf.translation,
+        comment="[%d.%d.%d]" % (best_orf.frame,
+                                best_orf.start + 1,
+                                best_orf.end + 1),
+        dna_sequence=entry.sequence)
+
+
+def _dna_score_context(cfg: PlacementConfig, data_type: str, dna_map):
+    """--score-as-dna: DNA-level model for candidate scoring when the
+    run is --translate'd (reads_aligner.cpp:2930-2942). Returns the DNA
+    scoring model or None when inapplicable."""
+    if not (cfg.score_as_dna and dna_map) or data_type == alph.DNA:
+        return None
+    return ModelFactory(alph.DNA).alignment_model(0.001 +
+                                                  cfg.query_distance)
+
+
 def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                   data_type: str, cfg: PlacementConfig | None = None,
                   model_factory: ModelFactory | None = None,
                   settings: AlignSettings | None = None,
-                  mesh=None) -> PlacementOutcome:
+                  mesh=None, dna_map=None) -> PlacementOutcome:
     """query_placement_one (reads_aligner.cpp:623-911)."""
     cfg = cfg or PlacementConfig()
+    if cfg.fragments:
+        # --fragments: group queries per target node, insert
+        # best-score-first (query_placement_all, reads_aligner.cpp:372-621)
+        return place_queries_grouped(res, queries, data_type, cfg,
+                                     model_factory=model_factory,
+                                     settings=settings, mesh=mesh,
+                                     dna_map=dna_map)
     tree = res.tree
     if model_factory is None:
         model_factory = ModelFactory(data_type)
@@ -310,6 +483,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     min_ov = max(cfg.min_query_overlap, 0.0)
     min_id = max(cfg.min_query_identity, 0.0)
     model = model_factory.alignment_model(0.001 + cfg.query_distance)
+    dna_model = _dna_score_context(cfg, data_type, dna_map)
 
     count = sum(1 for _ in tree.nodes_postorder()) + 1
     single_ref = tree.is_leaf or tree.num_leaves() == 1
@@ -331,96 +505,40 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
         if "TID=" in (entry.comment or ""):
             qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
         cand = _candidate_names(tree, cfg, qtid)
+        cand = _preselect_candidates(entry, cand, nodes_map,
+                                     cfg.preselect_keep_best)
         if not cand:
             discarded.append(entry)
             continue
 
         if cfg.find_orfs:
-            # translated placement (translated_query_placement_one,
-            # reads_aligner.cpp:~2450+): enumerate six-frame ORFs of the
-            # DNA query, choose the ORF scoring best against any
-            # candidate node, place its protein translation
-            from .orfs import find_orfs as _find_orfs
-            orfs = _find_orfs(entry.sequence, entry.name,
-                              cfg.min_orf_length, cfg.min_orf_coverage,
-                              mt=cfg.mt)
-            if not orfs:
+            orf_entry = _select_best_orf(entry, cand, nodes_map, model,
+                                         settings, cfg, data_type)
+            if orf_entry is None:
                 discarded.append(entry)
                 continue
-
-            def orf_score(o):
-                g = build_leaf_graph(o.translation, data_type)
-                g.is_read_sequence = True
-                if len(cand) == 1:
-                    return len(o.translation)
-                return max(_read_match_score(nodes_map[nm], g, model,
-                                             settings, cfg)
-                           for nm in cand)
-
-            best_orf = max(orfs, key=orf_score)
-            entry = FastaEntry(
-                name=entry.name + "_orf1",
-                sequence=best_orf.translation,
-                comment="[%d.%d.%d]" % (best_orf.frame,
-                                        best_orf.start + 1,
-                                        best_orf.end + 1),
-                dna_sequence=entry.sequence)
-        best_score = -float("inf")
-        best_nodes: list[str] = []
+            entry = orf_entry
         best_strand_rev = False
         fwd_graph = read_leaf(entry, False).graph
         rc_graph = read_leaf(entry, True).graph if compare_reverse else None
-        if len(cand) == 1:
+        if len(cand) == 1 and not cfg.rank_reads_for_nodes:
+            # single matching node: assigned without scoring unless
+            # --rank-reads-for-nodes asks for a real node_score
+            # (reads_aligner.cpp:2748)
             best_nodes = [cand[0]]
             best_score = 1.0
         else:
-            # candidate scoring: every (node x strand) alignment is an
-            # independent job — one batched launch instead of a serial
-            # sweep (task-parallel intent of find_nodes_for_query,
-            # reads_aligner.cpp:1996-2278). Graph copies keep scoring
-            # side-effect-free on the live tree.
-            import copy as _copy
-            from ..parallel.executor import PairJob, execute_pair_jobs
-            # one target copy per candidate and one read copy per
-            # strand, shared across that query's jobs (the sequential
-            # path shared the live graphs the same way)
-            strand_copies = [_copy.deepcopy(fwd_graph)]
-            if rc_graph is not None:
-                strand_copies.append(_copy.deepcopy(rc_graph))
-            jobs = []
-            for name in cand:
-                t = nodes_map[name]
-                tcopy = _copy.deepcopy(t.graph)
-                for g in strand_copies:
-                    jobs.append(PairJob(
-                        left=tcopy, right=g, model=model,
-                        settings=settings, left_branch_length=0.001,
-                        right_branch_length=cfg.query_distance,
-                        is_reads_sequence=True, key=name))
+            from ..parallel.executor import execute_pair_jobs
+            jobs, smodel, per_strand = _build_score_jobs(
+                entry, cand, nodes_map, fwd_graph, rc_graph, model,
+                settings, cfg, dna_model=dna_model, dna_map=dna_map)
             results = execute_pair_jobs(jobs, engine=cfg.engine,
                                         mesh=mesh)
             scores = [_match_score_from_anc(anc, j.left, j.right,
-                                            model, cfg)
+                                            smodel, cfg)
                       for j, (anc, _e) in zip(jobs, results)]
-            per_strand = 1 if rc_graph is None else 2
-            for ci, name in enumerate(cand):
-                sc = scores[ci * per_strand]
-                if sc == best_score and not cfg.one_placement_only \
-                        and not cfg.exhaustive_placement:
-                    best_nodes.append(name)
-                elif sc >= best_score:
-                    best_score = sc
-                    best_nodes = [name]
-                    best_strand_rev = False
-                if rc_graph is not None:
-                    sc = scores[ci * per_strand + 1]
-                    if sc == best_score and not cfg.one_placement_only \
-                        and not cfg.exhaustive_placement:
-                        best_nodes.append(name)
-                    elif sc >= best_score:
-                        best_score = sc
-                        best_nodes = [name]
-                        best_strand_rev = True
+            best_score, best_nodes, best_strand_rev = _pick_best_nodes(
+                cand, scores, per_strand, cfg)
             if best_score < 0.05:
                 # "aligns with less than 5% of identical sites"
                 if cfg.align_bad_reads_at_root:
@@ -497,6 +615,12 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                     new_node.site_index_corrected = getattr(
                         tree, "site_index_corrected", False)
                     tree = new_node
+            if cfg.tid_for_subroot:
+                # spliced parent inherits the target's NHX TID tag
+                # (reads_aligner.cpp:858-862)
+                new_node.nhx_tid = new_node.left.nhx_tid
+                new_node.left.nhx_tid = ""
+                new_node.right.nhx_tid = ""
             _fix_branch_lengths(tree, new_node, data_type)
             parent = _parent_of(tree, new_node.name)
             if parent is not None:
@@ -509,3 +633,207 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     alignment = extract_alignment(tree, False, data_type=data_type)
     out = ProgressiveResult(tree=tree, alignment=alignment)
     return PlacementOutcome(result=out, discarded=discarded, placed=placed)
+
+
+def place_queries_grouped(res: ProgressiveResult,
+                          queries: list[FastaEntry], data_type: str,
+                          cfg: PlacementConfig | None = None,
+                          model_factory: ModelFactory | None = None,
+                          settings: AlignSettings | None = None,
+                          mesh=None, dna_map=None) -> PlacementOutcome:
+    """--fragments: query_placement_all (reads_aligner.cpp:372-621).
+
+    All queries find their target nodes up-front — here as ONE batched
+    executor launch over every (query x candidate x strand) scoring
+    alignment, instead of the reference's serial sweep — then queries
+    are grouped by target node (nodes in node_is_smaller order,
+    :443-445) and inserted per node in stable best-node_score-first
+    order (sort_reads_vector, :468). Each accepted query's merged node
+    becomes the alignment target for the next query of that group
+    (current_root chaining, :483-620), so insertion order changes the
+    output — which is exactly why the ordering subsystem exists.
+    """
+    cfg = cfg or PlacementConfig()
+    tree = res.tree
+    if model_factory is None:
+        model_factory = ModelFactory(data_type)
+    settings = (settings or AlignSettings()).for_reads()
+
+    compare_reverse = cfg.both_strands and data_type == alph.DNA
+    min_ov = max(cfg.min_query_overlap, 0.0)
+    min_id = max(cfg.min_query_identity, 0.0)
+    model = model_factory.alignment_model(0.001 + cfg.query_distance)
+    dna_model = _dna_score_context(cfg, data_type, dna_map)
+
+    count = sum(1 for _ in tree.nodes_postorder()) + 1
+    single_ref = tree.is_leaf or tree.num_leaves() == 1
+    discarded: list[FastaEntry] = []
+    placed: list[str] = []
+    name_counts: dict[str, int] = {}
+
+    def read_leaf(entry: FastaEntry, rc: bool) -> TreeNode:
+        seq = clean_sequence(entry.sequence, data_type)
+        n = TreeNode(name=entry.name, dist=cfg.query_distance)
+        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=rc)
+        n.graph.is_read_sequence = True
+        return n
+
+    # ---- phase 1: find nodes for ALL queries (find_nodes_for_queries /
+    # find_targets_for_queries, :2458-2601) — one batched launch ----
+    nodes_map = _nodes_by_name(tree)
+    per_query: list[dict] = []
+    all_jobs = []
+    spans = []  # (start, cand, per_strand, smodel) per scored query
+    for entry in queries:
+        qtid = ""
+        if "TID=" in (entry.comment or ""):
+            qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
+        cand = _candidate_names(tree, cfg, qtid)
+        cand = _preselect_candidates(entry, cand, nodes_map,
+                                     cfg.preselect_keep_best)
+        info = {"entry": entry, "cand": cand, "nodes": [],
+                "score": -float("inf"), "rev": False}
+        per_query.append(info)
+        if not cand:
+            continue
+        if cfg.find_orfs:
+            # translated_query_placement_all (reads_aligner.cpp:1353-1436)
+            orf_entry = _select_best_orf(entry, cand, nodes_map, model,
+                                         settings, cfg, data_type)
+            if orf_entry is None:
+                info["cand"] = []
+                continue
+            entry = orf_entry
+            info["entry"] = entry
+        if len(cand) == 1 and not cfg.rank_reads_for_nodes:
+            info["nodes"] = [cand[0]]
+            info["score"] = 1.0
+            continue
+        fwd_graph = read_leaf(entry, False).graph
+        rc_graph = (read_leaf(entry, True).graph
+                    if compare_reverse else None)
+        jobs, smodel, per_strand = _build_score_jobs(
+            entry, cand, nodes_map, fwd_graph, rc_graph, model,
+            settings, cfg, dna_model=dna_model, dna_map=dna_map)
+        spans.append((len(all_jobs), info, per_strand, smodel))
+        all_jobs.extend(jobs)
+    if all_jobs:
+        from ..parallel.executor import execute_pair_jobs
+        results = execute_pair_jobs(all_jobs, engine=cfg.engine,
+                                    mesh=mesh)
+        for start, info, per_strand, smodel in spans:
+            cand = info["cand"]
+            n = len(cand) * per_strand
+            scores = [_match_score_from_anc(anc, j.left, j.right,
+                                            smodel, cfg)
+                      for j, (anc, _e) in zip(all_jobs[start:start + n],
+                                              results[start:start + n])]
+            sc, nodes, rev = _pick_best_nodes(cand, scores, per_strand,
+                                              cfg)
+            if sc < 0.05:
+                # "aligns with less than 5% of identical sites"
+                if cfg.align_bad_reads_at_root:
+                    nodes, sc = [tree.name], sc
+                else:
+                    nodes = []
+            info["nodes"], info["score"], info["rev"] = nodes, sc, rev
+
+    for info in per_query:
+        if not info["nodes"]:
+            discarded.append(info["entry"])
+
+    # ---- phase 2: one tagged node at a time (:443-620) ----
+    unique_nodes = sorted({nm for info in per_query
+                           for nm in info["nodes"]}, key=_node_sort_key)
+    accepted: set[int] = set()
+    for node_name in unique_nodes:
+        group = [info for info in per_query if node_name in info["nodes"]]
+        # sort_reads_vector (:468): stable, best node_score first
+        group.sort(key=lambda info: -info["score"])
+        ref_node_name = node_name
+        target = _nodes_by_name(tree).get(node_name)
+        if target is None:
+            continue
+        orig_dist = target.dist
+        for qi, info in enumerate(group):
+            entry = info["entry"]
+
+            def try_strand(rc: bool):
+                rnode = read_leaf(entry, rc)
+                node = TreeNode(name=f"#{count}#",
+                                children=[target, rnode])
+                node.left.dist = 0.001
+                anc, _ = align_pair(target.graph, rnode.graph, model,
+                                    settings, left_branch_length=0.001,
+                                    right_branch_length=cfg.query_distance,
+                                    is_reads_sequence=True,
+                                    engine=cfg.engine)
+                if anc is None:
+                    return None, -1.0, -1.0
+                anc.is_read_sequence = True
+                anc.has_read_descendants = True
+                node.graph = anc
+                ov, ident = read_alignment_scores(
+                    node, entry.name, ref_node_name,
+                    overlap_with_any=cfg.overlap_with_any)
+                return node, ov, ident
+
+            node, ov, ident = (None, -1.0, -1.0)
+            if not (compare_reverse and info["rev"]):
+                node, ov, ident = try_strand(False)
+            node_rc, ov_rc, ident_rc = (None, -1.0, -1.0)
+            if compare_reverse and (info["rev"] or
+                                    len(info["cand"]) == 1):
+                node_rc, ov_rc, ident_rc = try_strand(True)
+
+            if ov > ov_rc and ov > min_ov and ident > min_id:
+                new_node = node
+            elif ov_rc > min_ov and ident_rc > min_id:
+                new_node = node_rc
+            else:
+                target.dist = orig_dist
+                continue
+
+            count += 1
+            accepted.add(id(entry))
+            if orig_dist > new_node.dist:
+                orig_dist -= new_node.dist
+            n_seen = name_counts.get(entry.name, 0)
+            if n_seen:
+                new_node.right.name = f"{entry.name}.{n_seen}"
+            name_counts[entry.name] = n_seen + 1
+            new_node.dist = orig_dist
+
+            if single_ref or ref_node_name == tree.name:
+                new_node.site_index_corrected = getattr(
+                    tree, "site_index_corrected", False)
+                tree = new_node
+                single_ref = False
+            else:
+                if not _correct_sites_index(new_node, ref_node_name,
+                                            tree):
+                    new_node.site_index_corrected = getattr(
+                        tree, "site_index_corrected", False)
+                    tree = new_node
+            if cfg.tid_for_subroot:
+                new_node.nhx_tid = new_node.left.nhx_tid
+                new_node.left.nhx_tid = ""
+                new_node.right.nhx_tid = ""
+            _fix_branch_lengths(tree, new_node, data_type)
+            if _parent_of(tree, new_node.name) is not None:
+                _reconstruct_one_parsimony(tree, new_node, model_factory)
+            placed.append(new_node.right.name)
+            # current_root chaining: the merged node is the target for
+            # the group's next query (:483-487)
+            target = new_node
+            ref_node_name = new_node.name
+
+    for info in per_query:
+        if info["nodes"] and id(info["entry"]) not in accepted \
+                and info["entry"] not in discarded:
+            discarded.append(info["entry"])
+
+    alignment = extract_alignment(tree, False, data_type=data_type)
+    out = ProgressiveResult(tree=tree, alignment=alignment)
+    return PlacementOutcome(result=out, discarded=discarded,
+                            placed=placed)

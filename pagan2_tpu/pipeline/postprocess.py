@@ -314,9 +314,57 @@ def maxmin_distant_subset(tree: TreeNode, candidates: set[str],
     return set(kept)
 
 
+def threshold_distant_subset(tree: TreeNode, candidates: set[str],
+                             threshold: float,
+                             seq_length: dict[str, int]) -> set[str]:
+    """--prune-keep-threshold: BppPhySamp's deletion_method=threshold
+    with choice_criterion=length (bppphysamp_tree.cpp:161-168): while
+    any two kept reference leaves are closer than `threshold` in tree
+    distance, drop the one with the shorter (ungapped) sequence."""
+    leaves = [l for l in tree.leaves() if l.name in candidates]
+    names = [l.name for l in leaves]
+    if len(names) < 2:
+        return set(names)
+    dist = _leaf_distances(tree)
+    alive = set(names)
+    while len(alive) > 1:
+        pair = min(((a, b) for a in alive for b in alive if a < b),
+                   key=lambda p: dist(p[0], p[1]))
+        if dist(pair[0], pair[1]) >= threshold:
+            break
+        a, b = pair
+        drop = a if seq_length.get(a, 0) <= seq_length.get(b, 0) else b
+        alive.discard(drop)
+    return alive
+
+
+def _leaf_distances(tree: TreeNode):
+    """Pairwise leaf tree-distance function via root paths."""
+    depth: dict[str, dict[int, float]] = {}
+
+    def paths(n: TreeNode, acc, d):
+        acc = acc + [(id(n), d)]
+        if n.is_leaf:
+            depth[n.name] = dict(acc)
+        for c in n.children:
+            paths(c, acc, d + c.dist)
+
+    paths(tree, [], 0.0)
+
+    def dist2(a: str, b: str) -> float:
+        pa, pb = depth[a], depth[b]
+        da = max(pa.values())
+        db = max(pb.values())
+        lca = max((d for k, d in pa.items() if k in pb), default=0.0)
+        return da + db - 2 * lca
+
+    return dist2
+
+
 def prune_extended_alignment(tree: TreeNode, alignment: list[FastaEntry],
                              keep_number: int = 0,
                              keep_closest: bool = False,
+                             keep_threshold: float | None = None,
                              trim: bool = False, trim_keep_sites: int = 15):
     """Pruned views of a placement alignment. Returns a list of
     (suffix, entries, pruned_tree) outputs
@@ -334,7 +382,16 @@ def prune_extended_alignment(tree: TreeNode, alignment: list[FastaEntry],
         ptree = _prune_tree_keep(tree, keep)
         outs.append((suffix, kept, ptree))
 
-    if keep_number > 1:
+    if keep_threshold is not None:
+        # --prune-keep-threshold wins over --prune-keep-number
+        # (bppphysamp_tree.cpp:161: threshold= ... deletion_method=threshold)
+        refs = {l.name for l in tree.leaves()} - readnames
+        lengths = {e.name: sum(c not in "-." for c in e.sequence)
+                   for e in alignment}
+        keep = threshold_distant_subset(tree, refs, keep_threshold,
+                                        lengths) | readnames
+        build(keep, ".pruned")
+    elif keep_number > 1:
         refs = {l.name for l in tree.leaves()} - readnames
         keep = maxmin_distant_subset(tree, refs, keep_number) | readnames
         build(keep, ".pruned")

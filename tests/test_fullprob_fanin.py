@@ -232,6 +232,60 @@ def test_long_bridge_ancestor_planes_match_oracle(model):
     _assert_cells_match(planes, a)
 
 
+def test_beyond_cap_deep_fanin_planes_match_oracle(model):
+    """Sites with more than 8 bwd edges (the round-3 K cap) must stay
+    on the device gather cores and match the oracle cell-by-cell —
+    the reference fwd/bwd runs on any graph
+    (viterbi_alignment.cpp:329-371, 2259-2305)."""
+    rng = np.random.default_rng(9)
+    base = "".join(rng.choice(list("ACGT"), size=30))
+    g1 = build_leaf_graph(base, alph.DNA)
+    # pile 10 extra skip edges onto one site -> fan-in 11
+    tgt = 20
+    for src in range(8, 19):
+        g1.add_edge(src, tgt, 0.05)
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats
+    KL, _ = fanin_stats(g1)
+    assert KL > 8
+    g2 = build_leaf_graph(base, alph.DNA)
+    assert fanin_fullprob_eligible(g1, g2)
+    import copy
+    a, end, s = _filled_oracle(copy.deepcopy(g1), copy.deepcopy(g2),
+                               model)
+    planes = FullProbPlanes(g1, g2, model, s)
+    assert planes.fanin
+    assert planes.total_fwd_score() == pytest.approx(end.fwd_score,
+                                                     rel=1e-8)
+    _assert_cells_match(planes, a)
+
+
+def test_beyond_cap_long_reach_planes_match_oracle(model):
+    """A bridge spanning more than 64 sites (the round-3 reach cap)
+    must stay on the device gather cores."""
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("ACGT"), size=110))
+    s1 = base
+    s2 = base[:20] + base[95:]        # 75-site deletion -> reach ~76
+    g1 = build_leaf_graph(s1, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    anc, _ = align_pair(g1, g2, model, AlignSettings())
+    leaf = build_leaf_graph(s1, alph.DNA)
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats
+    KL, OL = fanin_stats(anc)
+    assert OL > 64
+    assert fanin_fullprob_eligible(anc, leaf)
+    import copy
+    a, end, s = _filled_oracle(copy.deepcopy(anc), copy.deepcopy(leaf),
+                               model)
+    planes = FullProbPlanes(anc, leaf, model, s)
+    assert planes.fanin
+    assert planes.total_fwd_score() == pytest.approx(end.fwd_score,
+                                                     rel=1e-8)
+    assert np.exp(planes.log_total_bwd) == pytest.approx(
+        a.bwd_full_probability, rel=1e-8)
+    _assert_cells_match(planes, a)
+
+
 def test_long_bridge_sampler_matches_oracle(model):
     rng = np.random.default_rng(77)
     base = rng.choice(list("ACGT"), size=40)

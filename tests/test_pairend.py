@@ -153,6 +153,65 @@ def test_device_and_oracle_agree_through_align_pair(model):
     assert len(a1.edges) == len(a2.edges)
 
 
+def test_fullprob_planes_pair_end_parity(model):
+    """Pair-end full probability stays on device: the probability
+    planes are pair-end-agnostic (the reference's fwd pass uses the
+    plain gap_ext() for every gap type, viterbi_alignment.cpp:2151-2154)
+    so the device planes must equal the oracle's fwd/bwd cells, and
+    align_pair must NOT fall back to the oracle."""
+    from pagan2_tpu.align.fullprob import FullProbPlanes
+    from pagan2_tpu.align.oracle import PairAligner as OracleAligner
+    from pagan2_tpu.align import oracle as oracle_mod
+    rng = np.random.default_rng(5)
+    r1 = "".join(rng.choice(list("ACGT"), 10))
+    r2 = "".join(rng.choice(list("ACGT"), 10))
+    ref = r1 + "".join(rng.choice(list("ACGT"), 8)) + r2
+
+    def graphs():
+        gl = build_leaf_graph(ref, alph.DNA)
+        gr = _pe_graph(r1, r2)
+        xr = mark_no_gap_penalty_sites(gl)
+        yr = mark_no_gap_penalty_sites(gr)
+        s = replace(AlignSettings(), pair_end_reads=True,
+                    compute_full_score=True, x_read1_length=xr,
+                    y_read1_length=yr)
+        return gl, gr, s
+
+    gl, gr, s = graphs()
+    a = OracleAligner(gl, gr, model, s)
+    end = a.fill()
+    gl2, gr2, s2 = graphs()
+    planes = FullProbPlanes(gl2, gr2, model, s2)
+    assert planes.total_fwd_score() == pytest.approx(end.fwd_score,
+                                                     rel=1e-9)
+    for i in range(0, planes.L, 3):
+        for j in range(0, planes.R, 3):
+            for mk, om in ((2, a.M), (0, a.X), (1, a.Y)):
+                c = om[i][j]
+                assert planes.fwd(mk, i, j) == pytest.approx(
+                    c.fwd_score, rel=1e-8, abs=1e-300), (mk, i, j)
+                assert planes.bwd(mk, i, j) == pytest.approx(
+                    c.bwd_score, rel=1e-8, abs=1e-300), (mk, i, j)
+
+    # align_pair with sampling + pair-end must not touch the oracle
+    def boom(*a, **k):
+        raise AssertionError("pair-end fullprob fell back to the oracle")
+
+    import pagan2_tpu.align as align_pkg
+    orig = align_pkg.PairAligner
+    align_pkg.PairAligner = boom
+    try:
+        gl3 = build_leaf_graph(ref, alph.DNA)
+        gr3 = _pe_graph(r1, r2)
+        s3 = replace(AlignSettings(), pair_end_reads=True,
+                     sample_path=True)
+        anc, _ = align_pair(gl3, gr3, model, s3, engine="auto",
+                            rng=np.random.default_rng(0))
+        assert anc is not None
+    finally:
+        align_pkg.PairAligner = orig
+
+
 def test_cli_pair_end_flag():
     from pagan2_tpu.cli import build_parser
     args = build_parser().parse_args(["--pair-end", "-q", "x.fastq",
