@@ -176,6 +176,146 @@ def bench_banded(rng, model, settings, on_tpu):
                                 f"{dt * 1e3:.1f} ms/fill")
 
 
+def _with_timeout(seconds, fn, *a, **k):
+    """Run fn with a SIGALRM guard so one slow secondary (e.g. a cold
+    megabase compile) cannot prevent the JSON line from printing."""
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError(f"bench step exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn(*a, **k)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def bench_pileup_e2e(on_tpu):
+    """454-pileup demo (BASELINE.json config #1) END TO END in one
+    process: synthetic homopolymer-rich genome, overlapping 454-style
+    reads with homopolymer over/under-calls, reference-free pileup
+    with consensus — wall seconds as a user experiences the canonical
+    `--pileup --homopolymer` run (compile included). Guards against
+    order-of-magnitude pipeline regressions that kernel-rate metrics
+    cannot see (round 3 fixed a 456s->55s one invisibly)."""
+    from pagan2_tpu.io.fasta import FastaEntry
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.pipeline.pileup import pileup_align, PileupConfig
+    from pagan2_tpu.parallel import executor
+    rng = np.random.default_rng(3)
+    n_reads, rlen, glen = (40, 384, 1500) if on_tpu else (6, 96, 300)
+    parts = []
+    total = 0
+    while total < glen + rlen:
+        c = "ACGT"[int(rng.integers(0, 4))]
+        run = int(rng.integers(1, 5))
+        parts.append(c * run)
+        total += run
+    genome = "".join(parts)
+    reads = []
+    for k in range(n_reads):
+        start = int(k * (len(genome) - rlen) / max(n_reads - 1, 1))
+        r = []
+        for c in genome[start:start + rlen]:
+            u = rng.random()
+            if u < 0.01:
+                r.append(c + c)        # homopolymer overcall
+            elif u < 0.02:
+                pass                   # undercall
+            else:
+                r.append(c)
+        reads.append(FastaEntry(f"r{k:03d}", "".join(r)))
+    executor.reset_stats()
+    t0 = time.perf_counter()
+    res = pileup_align(reads, alph.DNA,
+                       PileupConfig(homopolymer=True,
+                                    use_consensus=True))
+    dt = time.perf_counter() - t0
+    placed = n_reads - len(res.discarded)
+    return dt, (f"{n_reads}x{rlen}bp 454-style reads, {placed} placed, "
+                f"consensus {len(res.consensus or '')}bp")
+
+
+def bench_family_e2e(on_tpu):
+    """Tree-guided progressive family (BASELINE.json config #2 scaled
+    to 16x1.5kb) END TO END in one process: wall seconds for the whole
+    pipeline — guide-tree batching, anchoring, kernels, ancestral
+    builds."""
+    from pagan2_tpu.io.fasta import FastaEntry
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.pipeline.progressive import align_progressive
+    rng = np.random.default_rng(5)
+    n, L = (16, 1535) if on_tpu else (6, 160)
+    base = rng.choice(list("ACGT"), size=L)
+    entries = []
+    for i in range(n):
+        mut = base.copy()
+        idx = rng.random(L) < 0.1
+        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+        s = "".join(mut)
+        if i % 3 == 1:
+            s = s[:L // 3] + s[L // 3 + 12:]
+        entries.append(FastaEntry(name=f"s{i}", sequence=s))
+
+    def build(lo, hi):
+        if hi - lo == 1:
+            return f"s{lo}:0.1"
+        mid = (lo + hi) // 2
+        return f"({build(lo, mid)},{build(mid, hi)}):0.05"
+
+    t0 = time.perf_counter()
+    res = align_progressive(entries, build(0, n) + ";",
+                            data_type=alph.DNA)
+    dt = time.perf_counter() - t0
+    return dt, (f"{n}x{L}bp progressive family, "
+                f"{len(res.alignment[0].sequence)} cols")
+
+
+def bench_megabase(rng, model, settings, on_tpu):
+    """1 Mb closely-related pair through the production anchoring
+    pipeline + windowed banded kernel (tools/bench_megabase.py folded
+    in): reports the per-fill milliseconds so regressions in the
+    megabase story get caught (the reference's 'up to megabases on a
+    regular laptop', VERSION_HISTORY:12-16)."""
+    from dataclasses import replace
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.align import plan_band
+    from pagan2_tpu.align import viterbi_pallas_banded as vpb
+    N = 1048575 if on_tpu else 32767
+    base = rng.choice(list("ACGT"), size=N)
+    mut = base.copy()
+    idx = rng.random(N) < 0.01
+    mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    t0 = time.perf_counter()
+    g1 = build_leaf_graph("".join(base), alph.DNA)
+    g2 = build_leaf_graph("".join(mut), alph.DNA)
+    band, _skipped = plan_band(g1, g2,
+                               replace(settings, force_gap=True))
+    upper, lower = band
+    prep_s = time.perf_counter() - t0
+    in_band = int(np.sum(np.clip(np.asarray(lower[:N], np.int64)
+                                 - np.asarray(upper[:N], np.int64) + 1,
+                                 0, None)))
+    if not on_tpu:
+        vpb.INTERPRET = True
+    args, meta = vpb.pallas_banded_args(g1, g2, model, settings,
+                                        upper, lower)
+
+    def fill():
+        return vpb.pallas_banded_fill(args["fscal"], args["iscal"],
+                                      args["sched_dev"], args["ms"])
+
+    dt = slope_time(fill, lambda o: float(np.asarray(o[1])[0, 0]),
+                    on_tpu, k1=1, k2=3)
+    return dt * 1e3, (f"{N}bp pair, W={meta['S'] * meta['Wl']}, "
+                      f"{in_band / dt / 1e9:.2f} in-band GCUPS, "
+                      f"host prep {prep_s:.0f}s")
+
+
 def main():
     import os
     import jax
@@ -198,6 +338,15 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
+    if not on_tpu:
+        # pallas kernels only run in interpret mode on the CPU backend;
+        # CPU sizes above are tiny so a sanity run still finishes
+        from pagan2_tpu.align import (viterbi_pallas as _vp,
+                                      viterbi_pallas_fanin as _vpf,
+                                      viterbi_pallas_banded as _vpb,
+                                      fullprob_pallas as _fpp)
+        _vp.INTERPRET = _vpf.INTERPRET = True
+        _vpb.INTERPRET = _fpp.INTERPRET = True
     rng = np.random.default_rng(0)
     model = ModelFactory(alph.DNA).alignment_model(0.2)
     settings = AlignSettings()
@@ -211,6 +360,23 @@ def main():
             secondary[name] = {"gcups": round(g, 3), "case": d}
         except Exception as e:    # secondary benches must not kill the run
             secondary[name] = {"error": f"{e.__class__.__name__}: {e}"}
+
+    # end-to-end wall-clock secondaries (whole-pipeline seconds in this
+    # process, compile included): what kernel fill rates cannot see
+    budget = 3000 if on_tpu else 600
+    for name, fn, unit in [("pileup_e2e", bench_pileup_e2e, "s"),
+                           ("family_e2e", bench_family_e2e, "s")]:
+        try:
+            v, d = _with_timeout(budget, fn, on_tpu)
+            secondary[name] = {unit: round(v, 2), "case": d}
+        except Exception as e:
+            secondary[name] = {"error": f"{e.__class__.__name__}: {e}"}
+    try:
+        v, d = _with_timeout(budget, bench_megabase, rng, model,
+                             settings, on_tpu)
+        secondary["megabase_ms"] = {"ms": round(v, 1), "case": d}
+    except Exception as e:
+        secondary["megabase_ms"] = {"error": f"{e.__class__.__name__}: {e}"}
 
     print(json.dumps({
         "metric": "DP fill rate, pairwise phylo-aware graph alignment "

@@ -312,10 +312,11 @@ class FullProbPlanes:
 
     @classmethod
     def from_arrays(cls, left, right, model, inp, f_planes, fcum,
-                    b_planes, bcum):
+                    b_planes, bcum, fanin=False):
         """Construct from pre-filled planes (the batched executor fills
         a whole generation bucket in one vmapped launch). inp is the
-        job's linear_fullprob_inputs dict."""
+        job's linear_fullprob_inputs dict (fanin_fullprob_inputs when
+        fanin=True)."""
         self = cls.__new__(cls)
         self.left = left
         self.right = right
@@ -323,9 +324,10 @@ class FullProbPlanes:
         self.L = inp["L"]
         self.R = inp["R"]
         self.Lp = inp["Lp"]
-        self.fanin = False
-        self.w_lstop = inp["w_lstop"]
-        self.w_rstop = inp["w_rstop"]
+        self.fanin = fanin
+        if not fanin:
+            self.w_lstop = inp["w_lstop"]
+            self.w_rstop = inp["w_rstop"]
         self._finish(f_planes, fcum, b_planes, bcum)
         return self
 
@@ -376,100 +378,45 @@ class FullProbPlanes:
 
     # -- fan-in graph path -------------------------------------------
     def _run_fanin(self, msp_sh, consts, dtype):
-        """Prep + device fills for graph pairs with bounded fan-in."""
-        left, right, m = self.left, self.right, self.model
-        L, R, Lp = self.L, self.R, self.Lp
-        Rp = _bucket(R)
-
-        la = left.padded_bwd_arrays()
-        ra = right.padded_bwd_arrays()
-        self._la, self._ra = la, ra
-        KL = la["prev"].shape[1]
-        KR = ra["prev"].shape[1]
-
-        def side(arr, n, Np):
-            ar = np.arange(n)[:, None]
-            mask = arr["mask"][:n] & (arr["prev"][:n] >= 0) & \
-                (arr["prev"][:n] < ar)
-            offp = np.zeros((Np, arr["prev"].shape[1]), np.int32)
-            wp = np.zeros((Np, arr["prev"].shape[1]), dtype)
-            offp[:n] = np.where(mask, ar - arr["prev"][:n], 0)
-            wp[:n] = np.where(mask, arr["w"][:n], 0.0)
-            return offp, wp
-
-        loffp, lwp = side(la, L, Lp)
-        roffp, rwp = side(ra, R, R)
-        OLm = max(1, int(loffp.max()))
-        ORm = max(1, int(roffp.max()))
-        self._fanin_shape = (KL, KR, OLm, ORm)
-
-        # reversed right-side planes: value at slice(base - d')[i] is
-        # the column vector at j = d' - i; front padding absorbs the
-        # d+ORm lookahead of the bwd pass
+        """Prep + device fills for one fan-in graph pair."""
+        L, R = self.L, self.R
+        inp = fanin_fullprob_inputs(self.left, self.right, self.model,
+                                    dtype)
+        KL, KR = inp["KL"], inp["KR"]
+        OLm, ORm = inp["OLm"], inp["ORm"]
         F = max(8, ORm)
-        Ext = F + 2 * Lp + Rp
-        roff_rext = np.zeros((KR, Ext), np.int32)
-        rwp_rext = np.zeros((KR, Ext), dtype)
-        pos = F + Lp + Rp - 2 - np.arange(R)
-        roff_rext[:, pos] = roffp.T
-        rwp_rext[:, pos] = rwp.T
-
-        # bwd corner seeds over every stop-site bwd-edge pair
-        # (initialise_array_corner_bwd, viterbi_alignment.cpp:740-830)
-        lb = [(int(left.edges.start[e]), float(left.edges.weight[e]))
-              for e in left.bwd[L]]
-        rb = [(int(right.edges.start[e]), float(right.edges.weight[e]))
-              for e in right.bwd[R]]
-        corner_d = L + R - 2
-        Gs = 1
-        for li, _ in lb:
-            for ri, _ in rb:
-                Gs = max(Gs, corner_d - (li + ri) + 1)
-        seed_block = np.zeros((Gs, Lp), dtype)
-        seed_block[0, L - 1] = m.non_gap()
-        for li, wl in lb:
-            for ri, wr in rb:
-                seed_block[corner_d - (li + ri), li] = \
-                    m.non_gap() * wl * wr
+        roff_rext, rwp_rext = fanin_rext(inp["roffp"], inp["rwp"],
+                                         inp["Lp"], inp["Rp"], F)
 
         if OLm <= 8 and ORm <= 8 and KL <= 8 and KR <= 8:
             # bounded offsets AND bounded fan-in (454/homopolymer):
             # one-hot cores (they compile KL*KR*OLm*ORm selects, so
             # deep fan-in routes to the gather cores below instead)
             fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
-            args = (msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
+            args = (msp_sh, jnp.asarray(inp["loffp"]),
+                    jnp.asarray(inp["lwp"]),
                     jnp.asarray(roff_rext), jnp.asarray(rwp_rext),
                     consts, jnp.int32(L), jnp.int32(R))
             fM, fX, fY, fcum = fwd(*args)
-            bM, bX, bY, bcum = bwd(*args, jnp.asarray(seed_block))
+            bM, bX, bY, bcum = bwd(*args,
+                                   jnp.asarray(inp["seed_block"]))
             return fM, fX, fY, fcum, bM, bX, bY, bcum
 
-        # long bridges (ancestors spanning big indels): gather cores;
-        # the bwd pass iterates FWD edges, streamed as per-site
-        # offset/weight arrays in the same layouts
+        # long bridges / deep fan-in: gather cores; the bwd pass
+        # iterates FWD edges, streamed in the same layouts
         G = OLm + ORm
-        lfoff_r, lfw_r = fanout_arrays(left, L, dtype)
-        rfoff_r, rfw_r = fanout_arrays(right, R, dtype)
-        KFL = lfoff_r.shape[1]
-        KFR = rfoff_r.shape[1]
-        lfoff = np.zeros((Lp, KFL), np.int32)
-        lfw = np.zeros((Lp, KFL), dtype)
-        lfoff[:L] = lfoff_r
-        lfw[:L] = lfw_r
-        rfoff_rext = np.zeros((KFR, Ext), np.int32)
-        rfw_rext = np.zeros((KFR, Ext), dtype)
-        rfoff_rext[:, pos] = rfoff_r.T
-        rfw_rext[:, pos] = rfw_r.T
-
-        fwd, bwd = _fanin_gather_fills(KL, KR, KFL, KFR, G)
+        rfoff_rext, rfw_rext = fanin_rext(inp["rfoff"], inp["rfw"],
+                                          inp["Lp"], inp["Rp"], F)
+        fwd, bwd = _fanin_gather_fills(KL, KR, inp["KFL"], inp["KFR"],
+                                       G)
         fM, fX, fY, fcum = fwd(
-            msp_sh, jnp.asarray(loffp), jnp.asarray(lwp),
+            msp_sh, jnp.asarray(inp["loffp"]), jnp.asarray(inp["lwp"]),
             jnp.asarray(roff_rext), jnp.asarray(rwp_rext), consts,
             jnp.int32(L), jnp.int32(R))
         bM, bX, bY, bcum = bwd(
-            msp_sh, jnp.asarray(lfoff), jnp.asarray(lfw),
+            msp_sh, jnp.asarray(inp["lfoff"]), jnp.asarray(inp["lfw"]),
             jnp.asarray(rfoff_rext), jnp.asarray(rfw_rext), consts,
-            jnp.int32(L), jnp.int32(R), jnp.asarray(seed_block))
+            jnp.int32(L), jnp.int32(R), jnp.asarray(inp["seed_block"]))
         return fM, fX, fY, fcum, bM, bX, bY, bcum
 
     def _fanin_corner_total(self):
@@ -1250,6 +1197,115 @@ def fanout_arrays(g, n, dtype=np.float64):
             off[i, k] = o
             w[i, k] = wt
     return off, w
+
+
+def fanin_fullprob_inputs(left, right, model, dtype=np.float64,
+                          Lp=None, Rp=None):
+    """Host-side numpy inputs for the fan-in probability cores — per-job
+    and batch-stackable. K-slot axes (KL/KR/KFL/KFR), the seed depth and
+    the ring G pad with inert zero slots, so a batch bucket stacks jobs
+    at the bucket maxima; the reversed right-side layouts are built
+    separately with `fanin_rext` at a shared F."""
+    from .viterbi_sheared import _shear_np
+    L = left.num_sites() - 1
+    R = right.num_sites() - 1
+    Lp = Lp or _bucket(L)
+    Rp = Rp or _bucket(R)
+    D = Lp + Rp - 1
+    m = model
+
+    lstates = np.asarray(left.states[:L], np.int32)
+    rstates = np.asarray(right.states[:R], np.int32)
+    msp = np.zeros((Lp, Rp), dtype)
+    msp[:L, :R] = m.score[np.ix_(lstates, rstates)].astype(dtype)
+    msp_sh = np.ascontiguousarray(_shear_np(msp, D))
+    consts = np.array(
+        [m.ext_prob, m.gap_close() * m.gap_open(),
+         m.non_gap() * m.gap_open(), m.non_gap() * m.non_gap(),
+         m.gap_close() * m.non_gap()], dtype)
+
+    la = left.padded_bwd_arrays()
+    ra = right.padded_bwd_arrays()
+
+    def side(arr, n, Np):
+        ar = np.arange(n)[:, None]
+        mask = arr["mask"][:n] & (arr["prev"][:n] >= 0) & \
+            (arr["prev"][:n] < ar)
+        offp = np.zeros((Np, arr["prev"].shape[1]), np.int32)
+        wp = np.zeros((Np, arr["prev"].shape[1]), dtype)
+        offp[:n] = np.where(mask, ar - arr["prev"][:n], 0)
+        wp[:n] = np.where(mask, arr["w"][:n], 0.0)
+        return offp, wp
+
+    loffp, lwp = side(la, L, Lp)
+    roffp, rwp = side(ra, R, R)
+    OLm = max(1, int(loffp.max()))
+    ORm = max(1, int(roffp.max()))
+
+    # fwd-edge (bwd-pass) arrays
+    lfoff_r, lfw_r = fanout_arrays(left, L, dtype)
+    rfoff_r, rfw_r = fanout_arrays(right, R, dtype)
+    lfoff = np.zeros((Lp, lfoff_r.shape[1]), np.int32)
+    lfw = np.zeros((Lp, lfw_r.shape[1]), dtype)
+    lfoff[:L] = lfoff_r
+    lfw[:L] = lfw_r
+
+    # bwd corner seeds over every stop-site bwd-edge pair
+    # (initialise_array_corner_bwd, viterbi_alignment.cpp:740-830)
+    lb = [(int(left.edges.start[e]), float(left.edges.weight[e]))
+          for e in left.bwd[L]]
+    rb = [(int(right.edges.start[e]), float(right.edges.weight[e]))
+          for e in right.bwd[R]]
+    corner_d = L + R - 2
+    Gs = 1
+    for li, _ in lb:
+        for ri, _ in rb:
+            Gs = max(Gs, corner_d - (li + ri) + 1)
+    seed_block = np.zeros((Gs, Lp), dtype)
+    seed_block[0, L - 1] = m.non_gap()
+    for li, wl in lb:
+        for ri, wr in rb:
+            seed_block[corner_d - (li + ri), li] = \
+                m.non_gap() * wl * wr
+
+    return dict(L=L, R=R, Lp=Lp, Rp=Rp, msp_sh=msp_sh, consts=consts,
+                loffp=loffp, lwp=lwp, roffp=roffp, rwp=rwp,
+                lfoff=lfoff, lfw=lfw, rfoff=rfoff_r, rfw=rfw_r,
+                seed_block=seed_block,
+                KL=loffp.shape[1], KR=roffp.shape[1],
+                KFL=lfoff.shape[1], KFR=rfoff_r.shape[1],
+                OLm=OLm, ORm=ORm)
+
+
+def fanin_rext(arrT_off, arrT_w, Lp, Rp, F):
+    """Reversed extended right-side layouts: value at
+    slice(base - d)[i] is the column vector at j = d - i; the front
+    padding F absorbs the d+ORm lookahead of the bwd pass. A batch
+    bucket passes the SAME F for every job so the slices line up."""
+    R = arrT_off.shape[0]
+    K = arrT_off.shape[1]
+    Ext = F + 2 * Lp + Rp
+    off_rext = np.zeros((K, Ext), np.int32)
+    w_rext = np.zeros((K, Ext), arrT_w.dtype)
+    pos = F + Lp + Rp - 2 - np.arange(R)
+    off_rext[:, pos] = arrT_off.T
+    w_rext[:, pos] = arrT_w.T
+    return off_rext, w_rext
+
+
+_fanin_gather_batched_cache: dict = {}
+
+
+def fanin_gather_fills_batched(KL, KR, KFL, KFR, G):
+    """Vmapped gather-core fills for a batch bucket of fan-in
+    full-probability jobs (the task-parallel form of
+    viterbi_alignment.cpp:329-371 at node.cpp:227-269's intent)."""
+    key = (KL, KR, KFL, KFR, G)
+    if key not in _fanin_gather_batched_cache:
+        _fanin_gather_batched_cache[key] = (
+            jax.jit(jax.vmap(_build_fwd_fanin_gather(KL, KR, G))),
+            jax.jit(jax.vmap(_build_bwd_fanin_gather(KFL, KFR, G))))
+    return _fanin_gather_batched_cache[key]
 
 
 def _build_fwd_fanin_gather(KL, KR, G):

@@ -65,6 +65,21 @@ def _overlap_shard(vec: np.ndarray, n_dev: int, w: int, H: int, fill):
     return out
 
 
+def _overlap_shard2(arr: np.ndarray, n_dev: int, w: int, H: int, fill):
+    """(W, C) row-sharded variant of _overlap_shard."""
+    wloc = H + w
+    C = arr.shape[1]
+    out = np.full((n_dev * wloc, C), fill, arr.dtype)
+    for k in range(n_dev):
+        lo = k * w - H
+        src_lo = max(lo, 0)
+        src_hi = min(k * w + w, arr.shape[0])
+        if src_hi > src_lo:
+            out[k * wloc + (src_lo - lo):
+                k * wloc + (src_hi - lo)] = arr[src_lo:src_hi]
+    return out
+
+
 def _build_fill(mesh: Mesh, H: int):
     """Jitted shard_map fill for a ('band', n) mesh."""
     n_dev = int(np.prod(mesh.devices.shape))
@@ -324,4 +339,328 @@ def shardband_align_path(left: SequenceGraph, right: SequenceGraph,
     path = _backtrack_arrays(cells, left, right, PathPtr(end, True),
                              meta["L"], meta["R"],
                              left_branch_length, right_branch_length)
+    return path, end
+
+
+# ----------------------------------------------------------------------
+# band-axis sharding for FAN-IN graph pairs (454/homopolymer reads,
+# ancestors with indel bridges): a giant deep ancestor of a megabase
+# family can ride the mesh too. The recurrence is the one-hot fan-in
+# scan core's (viterbi_fanin._build_core_onehot — same candidate order,
+# same strict-greater first-wins codes, so finish_fanin backtracks the
+# sharded fill unchanged), with the ring of the last G diagonals lane-
+# sharded. Edge offsets reach OLm lanes to the left, so the halo
+# degrades by OLm lanes per diagonal and the ppermute refresh runs
+# every H // OLm steps (the linear fill's every-H cadence at OLm=1).
+# ----------------------------------------------------------------------
+def _build_fanin_fill(mesh: Mesh, H: int, KL: int, KR: int, OLm: int,
+                      ORm: int, G: int, nf: int, Dn: int):
+    from .viterbi_fanin import _BM_NONE, _BX_NONE, _BY_NONE
+    n_dev = int(np.prod(mesh.devices.shape))
+    Gm = min(G, OLm + ORm)
+    T = max(1, H // max(OLm, 1))     # steps between halo refreshes
+
+    def fill(TL_ov, loff_ov, llw_ov, lopen_ov, gexti_ov, vlo_ov,
+             vhi_ov, rs_rev, gjx_rev, roff_rev, rlw_rev, ropen_rev,
+             scal, iscal):
+        wloc = TL_ov.shape[0]
+        w = wloc - H
+        f = TL_ov.dtype
+        neg = jnp.array(NEG, f)
+        k = lax.axis_index("band")
+        lng, lgo = scal[0], scal[1]
+        Ldp, Rdp, Base = iscal[0], iscal[1], iscal[2]
+        corner_d = Ldp + Rdp - 2
+        li = jnp.arange(wloc)
+        ii = k * w - H + li
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        negv = jnp.full((wloc,), neg, f)
+
+        def sh(v, s):
+            if s == 0:
+                return v
+            return jnp.concatenate([jnp.full((s,), neg, f), v[:-s]])
+
+        def refresh(rM, rX, rY):
+            edges = jnp.concatenate(
+                [rM[:, -H:], rX[:, -H:], rY[:, -H:]], axis=0)
+            halo = lax.ppermute(edges, "band", perm)
+            halo = jnp.where(k == 0, neg, halo)
+            rM = jnp.concatenate([halo[:G], rM[:, H:]], axis=1)
+            rX = jnp.concatenate([halo[G:2 * G], rX[:, H:]], axis=1)
+            rY = jnp.concatenate([halo[2 * G:], rY[:, H:]], axis=1)
+            return rM, rX, rY
+
+        def one_step(rM, rX, rY, sM, sX, sY, d):
+            start = jnp.maximum(Base - d + k * w - H, 0)
+            rs = lax.dynamic_slice_in_dim(rs_rev, start, wloc)
+            gjx = lax.dynamic_slice_in_dim(gjx_rev, start, wloc)
+            roff = lax.dynamic_slice_in_dim(roff_rev, start, wloc,
+                                            axis=1)
+            rlw = lax.dynamic_slice_in_dim(rlw_rev, start, wloc,
+                                           axis=1)
+            ropen = lax.dynamic_slice_in_dim(ropen_rev, start, wloc,
+                                             axis=1)
+            jj = d - ii
+            valid = (jj >= 0) & (jj < Rdp) & (ii < Ldp) & (ii >= 0) & \
+                (jj >= vlo_ov) & (jj <= vhi_ov)
+            ms = jnp.take_along_axis(
+                TL_ov, jnp.clip(rs, 0, nf - 1)[:, None], axis=1)[:, 0]
+
+            AM = [None] + [rM[g - 1] for g in range(1, Gm + 1)]
+            AX = [None] + [rX[g - 1] for g in range(1, Gm + 1)]
+            AY = [None] + [rY[g - 1] for g in range(1, Gm + 1)]
+
+            def upd(best, code, cand, c):
+                take = cand > best
+                return (jnp.where(take, cand, best),
+                        jnp.where(take, c, code))
+
+            # ---- X: gap consuming left site i ----
+            bestX = negv
+            codeX = jnp.full((wloc,), _BX_NONE, jnp.int32)
+            shx = [None] + [sh(AX[g], g)
+                            for g in range(1, min(OLm, Gm) + 1)]
+            shy = [None] + [sh(AY[g], g)
+                            for g in range(1, min(OLm, Gm) + 1)]
+            shm = [None] + [sh(AM[g], g)
+                            for g in range(1, min(OLm, Gm) + 1)]
+            for kk in range(KL):
+                o = loff_ov[:, kk]
+                gx = gy = gm = negv
+                for g in range(1, min(OLm, Gm) + 1):
+                    m = o == g
+                    gx = jnp.where(m, shx[g], gx)
+                    gy = jnp.where(m, shy[g], gy)
+                    gm = jnp.where(m, shm[g], gm)
+                bestX, codeX = upd(bestX, codeX, gx + gjx, kk * 3)
+                bestX, codeX = upd(bestX, codeX, gy + lgo, kk * 3 + 1)
+                bestX, codeX = upd(bestX, codeX,
+                                   gm + lng + lopen_ov[:, kk],
+                                   kk * 3 + 2)
+
+            # ---- Y: gap consuming right site j (no lane shift) ----
+            bestY = negv
+            codeY = jnp.full((wloc,), _BY_NONE, jnp.int32)
+            for kk in range(KR):
+                o = roff[kk]
+                gy = gx = gm = negv
+                for g in range(1, min(ORm, Gm) + 1):
+                    m = o == g
+                    gy = jnp.where(m, AY[g], gy)
+                    gx = jnp.where(m, AX[g], gx)
+                    gm = jnp.where(m, AM[g], gm)
+                bestY, codeY = upd(bestY, codeY, gy + gexti_ov,
+                                   kk * 3)
+                bestY, codeY = upd(bestY, codeY, gx + lgo, kk * 3 + 1)
+                bestY, codeY = upd(bestY, codeY,
+                                   gm + lng + ropen[kk], kk * 3 + 2)
+
+            # ---- M: match consuming both ----
+            bestM = negv
+            codeM = jnp.full((wloc,), _BM_NONE, jnp.int32)
+            mbase = lng + ms
+            shM = {}
+            shX2 = {}
+            shY2 = {}
+            for s in range(1, OLm + 1):
+                for r in range(1, ORm + 1):
+                    if s + r <= Gm and (s, s + r) not in shM:
+                        shM[(s, s + r)] = sh(AM[s + r], s)
+                        shX2[(s, s + r)] = sh(AX[s + r], s)
+                        shY2[(s, s + r)] = sh(AY[s + r], s)
+            for kl in range(KL):
+                ol = loff_ov[:, kl]
+                lw = llw_ov[:, kl]
+                lmask = [None] + [ol == s for s in range(1, OLm + 1)]
+                for kr in range(KR):
+                    orr = roff[kr]
+                    gm = gx = gy = negv
+                    for s in range(1, OLm + 1):
+                        for r in range(1, ORm + 1):
+                            if s + r > Gm:
+                                continue
+                            mm = lmask[s] & (orr == r)
+                            gm = jnp.where(mm, shM[(s, s + r)], gm)
+                            gx = jnp.where(mm, shX2[(s, s + r)], gx)
+                            gy = jnp.where(mm, shY2[(s, s + r)], gy)
+                    base = mbase + lw + rlw[kr]
+                    c0 = (kl * KR + kr) * 3
+                    bestM, codeM = upd(bestM, codeM, gm + lng + base,
+                                       c0)
+                    bestM, codeM = upd(bestM, codeM, gx + base, c0 + 1)
+                    bestM, codeM = upd(bestM, codeM, gy + base, c0 + 2)
+
+            okx = valid & (ii > 0) & jnp.isfinite(bestX)
+            oky = valid & (jj > 0) & jnp.isfinite(bestY)
+            okm = valid & (ii > 0) & (jj > 0) & jnp.isfinite(bestM)
+            X = jnp.where(okx, bestX, neg)
+            Y = jnp.where(oky, bestY, neg)
+            M = jnp.where(okm, bestM, neg)
+            seed = (ii == 0) & (jj == 0)
+            M = jnp.where(seed, jnp.zeros((), f), M)
+
+            bp = (jnp.where(okm, codeM, _BM_NONE) +
+                  (jnp.where(okx, codeX, _BX_NONE) << 16) +
+                  (jnp.where(oky, codeY, _BY_NONE) << 24)
+                  ).astype(jnp.uint32)
+
+            rM = jnp.concatenate([M[None], rM[:-1]], axis=0)
+            rX = jnp.concatenate([X[None], rX[:-1]], axis=0)
+            rY = jnp.concatenate([Y[None], rY[:-1]], axis=0)
+            hit = d == corner_d
+            sM = jnp.where(hit, rM, sM)
+            sX = jnp.where(hit, rX, sX)
+            sY = jnp.where(hit, rY, sY)
+            return rM, rX, rY, sM, sX, sY, bp
+
+        def block(carry, db):
+            rM, rX, rY, sM, sX, sY = carry
+            rM, rX, rY = refresh(rM, rX, rY)
+            bps = []
+            for t in range(T):
+                d = db * T + t
+                rM, rX, rY, sM, sX, sY, bp = one_step(
+                    rM, rX, rY, sM, sX, sY, d)
+                bps.append(bp)
+            return (rM, rX, rY, sM, sX, sY), jnp.stack(bps)
+
+        # device-varying -inf init (0*ii) so scan carries never switch
+        # from replicated to varying
+        ring0 = neg + 0.0 * ii.astype(f)[None, :] + \
+            jnp.zeros((G, 1), f)
+        init = (ring0, ring0, ring0, ring0, ring0, ring0)
+        nblk = -(-Dn // T)
+        (rM, rX, rY, sM, sX, sY), bp_blocks = lax.scan(
+            block, init, jnp.arange(nblk))
+        bp = bp_blocks.reshape(nblk * T, wloc)[:, H:]
+        return bp, sM[:, H:], sX[:, H:], sY[:, H:]
+
+    specs = dict(
+        in_specs=(P("band"), P("band"), P("band"), P("band"),
+                  P("band"), P("band"), P("band"),
+                  P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(None, "band"), P(None, "band"), P(None, "band"),
+                   P(None, "band")))
+
+    try:
+        from jax import shard_map
+        sm = shard_map(fill, mesh=mesh, **specs)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm_old
+        sm = sm_old(fill, mesh=mesh, check_rep=False, **specs)
+    return jax.jit(sm)
+
+
+_fanin_fill_cache: dict = {}
+
+
+def shardband_fanin_align_path(left: SequenceGraph,
+                               right: SequenceGraph,
+                               model: EvolModel,
+                               settings: AlignSettings, mesh: Mesh,
+                               left_branch_length: float = 0.0,
+                               right_branch_length: float = 0.0,
+                               band=None, dtype=np.float64,
+                               H: int = HALO):
+    """Band-axis-sharded fill + host backtrack for one giant FAN-IN
+    pair; bit-identical to the one-hot fan-in scan core. Falls back to
+    the full matrix when a band dead-ends."""
+    from .viterbi_fanin import (prepare_fanin, finish_fanin, _g_bucket,
+                                K_CAP)
+    n_dev = int(np.prod(mesh.devices.shape))
+    inp = prepare_fanin(left, right, model, settings, dtype)
+    L, R = inp["L"], inp["R"]
+    KL, KR = inp["KL"], inp["KR"]
+    OLm, ORm = max(inp["OL"], 1), max(inp["OR"], 1)
+    G = _g_bucket(OLm + ORm)
+    if KL > K_CAP or KR > K_CAP:
+        raise ValueError("fan-in beyond the one-hot caps")
+    nf = inp["log_score"].shape[0]
+    w = _lane_split(L, n_dev)
+    Wt = w * n_dev
+    Rp = _bucket(R)
+    Dn = Wt + Rp - 1
+
+    def run(bnd):
+        # ---- host prep: overlapped lane shards + replicated revs ----
+        TL = np.zeros((Wt, nf), dtype)
+        TL[:L] = inp["log_score"][inp["lstates"]]
+        loff = np.zeros((Wt, KL), np.int32)
+        loff[:L] = inp["loff"]
+        llw = np.zeros((Wt, KL), dtype)
+        llw[:L] = inp["llw"]
+        lopen = np.zeros((Wt, KL), dtype)
+        lopen[:L] = inp["lopen"]
+        gexti = np.zeros(Wt, dtype)
+        gexti[:L] = inp["gext_i"]
+        if bnd is None:
+            vlo = np.zeros(L, np.int32)
+            vhi = np.full(L, R - 1, np.int32)
+        else:
+            vlo = np.clip(np.asarray(bnd[0][:L], np.int64), 0,
+                          R - 1).astype(np.int32)
+            vhi = np.clip(np.asarray(bnd[1][:L], np.int64), 0,
+                          R - 1).astype(np.int32)
+        vlo_f = np.full(Wt, 1, np.int32)
+        vlo_f[:L] = vlo
+        vhi_f = np.full(Wt, 0, np.int32)
+        vhi_f[:L] = vhi
+
+        Base = Dn - 1 + HALO
+        Ext = Base + Wt + HALO + 1
+
+        def rev(vec, fill, dt):
+            out = np.full(Ext, fill, dt)
+            n = len(vec)
+            # out[q] = vec[Base - q]
+            q = Base - np.arange(n)
+            out[q] = vec
+            return out
+
+        rs_rev = rev(inp["rstates"], nf, np.int32)
+        gjx_rev = rev(inp["gext_j"], 0.0, dtype)
+        roff_rev = np.stack([rev(inp["roff"][:, kk], 0, np.int32)
+                             for kk in range(KR)])
+        rlw_rev = np.stack([rev(inp["rlw"][:, kk], 0.0, dtype)
+                            for kk in range(KR)])
+        ropen_rev = np.stack([rev(inp["ropen"][:, kk], 0.0, dtype)
+                              for kk in range(KR)])
+        scal = np.array([inp["lng"], inp["lgo"]], dtype)
+        iscal = np.array([L, R, Base], np.int32)
+
+        args = (
+            jnp.asarray(_overlap_shard2(TL, n_dev, w, H, 0.0)),
+            jnp.asarray(_overlap_shard2(loff, n_dev, w, H,
+                                        np.int32(0))),
+            jnp.asarray(_overlap_shard2(llw, n_dev, w, H, 0.0)),
+            jnp.asarray(_overlap_shard2(lopen, n_dev, w, H, 0.0)),
+            jnp.asarray(_overlap_shard(gexti, n_dev, w, H, 0.0)),
+            jnp.asarray(_overlap_shard(vlo_f, n_dev, w, H,
+                                       np.int32(1))),
+            jnp.asarray(_overlap_shard(vhi_f, n_dev, w, H,
+                                       np.int32(0))),
+            jnp.asarray(rs_rev), jnp.asarray(gjx_rev),
+            jnp.asarray(roff_rev), jnp.asarray(rlw_rev),
+            jnp.asarray(ropen_rev), jnp.asarray(scal),
+            jnp.asarray(iscal))
+        key = (mesh, H, KL, KR, OLm, ORm, G, nf, Dn, dtype)
+        if key not in _fanin_fill_cache:
+            _fanin_fill_cache[key] = _build_fanin_fill(
+                mesh, H, KL, KR, OLm, ORm, G, nf, Dn)
+        bp, sM, sX, sY = _fanin_fill_cache[key](*args)
+        return (np.asarray(bp), (np.asarray(sM), np.asarray(sX),
+                                 np.asarray(sY)))
+
+    D = L + R - 1
+    ilo = np.zeros(max(D, Dn), np.int32)
+    bp, snaps = run(band)
+    path, end = finish_fanin(inp, bp, snaps, ilo, left, right, model,
+                             settings, left_branch_length,
+                             right_branch_length, kr_decode=KR)
+    if path is None and band is not None:
+        bp, snaps = run(None)
+        path, end = finish_fanin(inp, bp, snaps, ilo, left, right,
+                                 model, settings, left_branch_length,
+                                 right_branch_length, kr_decode=KR)
     return path, end

@@ -31,7 +31,8 @@ from ..utils import log_out
 # band-axis-sharded giant-pair fills.
 EXEC_STATS = {"launches": 0, "batched_jobs": 0, "single_jobs": 0,
               "batched_cells": 0, "fill_seconds": 0.0,
-              "single_fills": 0, "shardband_fills": 0}
+              "single_fills": 0, "shardband_fills": 0,
+              "fanin_batches": 0}
 
 # band-axis sharding threshold: a linear-chain pair whose left side has
 # at least this many sites (and no thin anchor band) is split over the
@@ -96,13 +97,14 @@ def _plan_job(job: PairJob):
     linear = is_linear_chain(job.left) and is_linear_chain(job.right)
     if s.compute_full_score or s.sample_path or \
             s.sample_additional_paths > 0:
-        # full-probability / sampling jobs: linear chains batch their
-        # scaled fwd/bwd plane fills (one vmapped launch per bucket);
-        # graph pairs stay single (still on device via fullprob's
-        # fan-in cores)
-        if linear and not s.pair_end_reads:
-            return "batch_fp"
-        return "single"
+        # full-probability / sampling jobs batch their scaled fwd/bwd
+        # plane fills (one vmapped launch per bucket): linear chains
+        # via the sheared cores, fan-in graphs via the gather cores.
+        # Pair-end jobs stay single (align_pair strips the break
+        # markers and still runs on device).
+        if s.pair_end_reads:
+            return "single"
+        return "batch_fp" if linear else "fanin_fp"
     if s.pair_end_reads:
         return "single"
     if not linear:
@@ -165,6 +167,42 @@ def _run_shardband(job: PairJob, mesh, dtype):
     EXEC_STATS["shardband_fills"] += 1
     EXEC_STATS["launches"] += 1
     log_out("shard_map band-axis fill: %dx%d over %d devices"
+            % (L, R, int(np.prod(list(mesh.shape.values())))), 2)
+    anc = build_ancestral_graph(job.left, job.right, path, job.model,
+                                settings,
+                                job.left_branch_length,
+                                job.right_branch_length,
+                                job.is_reads_sequence,
+                                compute_consensus=job.compute_consensus)
+    return anc, end
+
+
+def _run_shardband_fanin(job: PairJob, mesh, dtype):
+    """Band-axis-sharded ring fill for one giant FAN-IN pair
+    (454/homopolymer read graphs, deep ancestors with indel bridges):
+    the one-hot fan-in recurrence with the diagonal ring lane-sharded
+    over the mesh, bit-identical to the scan core. Raises ValueError
+    past the one-hot caps (the caller falls back to the windowed
+    gather core)."""
+    import time
+    from ..align import _acct, _band_cells
+    from ..align.ancestral import build_ancestral_graph
+    from ..align.viterbi_shardband import shardband_fanin_align_path
+    t0 = time.perf_counter()
+    settings = job.settings.for_reads() if job.is_reads_sequence \
+        else job.settings
+    from jax.sharding import Mesh
+    band_mesh = Mesh(mesh.devices.reshape(-1), ("band",))
+    path, end = shardband_fanin_align_path(
+        job.left, job.right, job.model, settings, band_mesh,
+        job.left_branch_length, job.right_branch_length,
+        band=job.band, dtype=dtype)
+    L = job.left.num_sites() - 1
+    R = job.right.num_sites() - 1
+    _acct(t0, _band_cells(job.band, L, R))
+    EXEC_STATS["shardband_fills"] += 1
+    EXEC_STATS["launches"] += 1
+    log_out("shard_map band-axis fan-in fill: %dx%d over %d devices"
             % (L, R, int(np.prod(list(mesh.shape.values())))), 2)
     anc = build_ancestral_graph(job.left, job.right, path, job.model,
                                 settings,
@@ -279,6 +317,7 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
     buckets: dict[tuple, list[int]] = {}
     fanin_buckets: dict[tuple, list[int]] = {}
     fp_buckets: dict[tuple, list[int]] = {}
+    fanin_fp_buckets: dict[tuple, list[int]] = {}
     for i, job in enumerate(jobs):
         try:
             kind = _plan_job(job)
@@ -293,29 +332,42 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
             R = job.right.num_sites() - 1
             key = (_bucket(L), _bucket(R))
             {"batch": buckets, "fanin": fanin_buckets,
-             "batch_fp": fp_buckets}[kind].setdefault(key, []).append(i)
+             "batch_fp": fp_buckets,
+             "fanin_fp": fanin_fp_buckets}[kind].setdefault(
+                 key, []).append(i)
 
     n_shards = _mesh_size(mesh)
 
     # band-axis sharding: when the generation underfills the mesh and a
-    # linear pair is giant (no thin band — those already took the
-    # windowed kernel via 'banded'), split its lane axis over the
-    # devices instead of leaving them idle
+    # pair is giant (no thin band — those already took the windowed
+    # kernel via 'banded'), split its lane axis over the devices
+    # instead of leaving them idle — linear pairs via the sheared fill,
+    # fan-in pairs via the ring fill (round-3 hole: only linear could)
     if mesh is not None and n_shards > 1:
         n_batchable = sum(len(v) for v in buckets.values()) + \
             sum(len(v) for v in fanin_buckets.values())
         if n_batchable < n_shards:
-            for key in list(buckets):
-                keep = []
-                for i in buckets[key]:
-                    if jobs[i].left.num_sites() - 1 >= SHARDBAND_MIN_L:
-                        results[i] = _run_shardband(jobs[i], mesh, dtype)
+            for bkt, runner in ((buckets, _run_shardband),
+                                (fanin_buckets, _run_shardband_fanin)):
+                for key in list(bkt):
+                    keep = []
+                    for i in bkt[key]:
+                        if jobs[i].left.num_sites() - 1 >= \
+                                SHARDBAND_MIN_L:
+                            try:
+                                results[i] = runner(jobs[i], mesh,
+                                                    dtype)
+                            except ValueError:
+                                # fan-in beyond the one-hot caps:
+                                # windowed gather core, unsharded
+                                results[i] = _run_single(jobs[i],
+                                                         engine)
+                        else:
+                            keep.append(i)
+                    if keep:
+                        bkt[key] = keep
                     else:
-                        keep.append(i)
-                if keep:
-                    buckets[key] = keep
-                else:
-                    del buckets[key]
+                        del bkt[key]
 
     for (Lp, Rp), idxs in sorted(buckets.items()):
         if len(idxs) == 1 and n_shards == 1:
@@ -360,6 +412,20 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
             part = idxs[c0:c0 + chunk]
             _launch_fullprob_batch(jobs, part, results, Lp, Rp, mesh,
                                    n_shards, engine, dtype)
+
+    for (Lp, Rp), idxs in sorted(fanin_fp_buckets.items()):
+        if len(idxs) == 1 and n_shards == 1:
+            i = idxs[0]
+            results[i] = _run_single(jobs[i], engine)
+            continue
+        per_job_cells = Lp * Rp
+        chunk = max(n_shards,
+                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
+                    * n_shards or n_shards)
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0:c0 + chunk]
+            _launch_fanin_fullprob_batch(jobs, part, results, Lp, Rp,
+                                         mesh, n_shards, engine, dtype)
     return results
 
 
@@ -502,12 +568,13 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
             results[i] = (anc, end)
 
 
-def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
-                        engine, dtype):
-    """One batched ring-buffer fill for a bucket of fan-in graph jobs."""
+def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
+    """One batched ring-buffer Viterbi fill for a bucket of fan-in
+    graph jobs. Returns [(path, end)] per idx; a None entry means the
+    banded fill dead-ended and the caller must retry that job single
+    (viterbi_alignment.cpp:298-317)."""
     import time
     import jax
-    from ..align.ancestral import build_ancestral_graph
     t_launch = time.perf_counter()
     from ..align.viterbi_fanin import (prepare_fanin, stack_fanin,
                                        get_fanin_fill, finish_fanin,
@@ -538,6 +605,20 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     KL = max(inp["KL"] for inp in inputs)
     KR = max(inp["KR"] for inp in inputs)
     G = _g_bucket(max(inp["OL"] + inp["OR"] for inp in inputs))
+    EXEC_STATS["fanin_batches"] += 1
+    paths: list = [None] * B
+
+    def finish(b, i, bp_b, snaps_b, ilo):
+        job = jobs[i]
+        s = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        paths[b] = finish_fanin(
+            inputs[b], bp_b, snaps_b, ilo,
+            job.left, job.right, job.model, s,
+            job.left_branch_length, job.right_branch_length,
+            kr_decode=KR)
+        if paths[b][0] is None:
+            paths[b] = None
 
     # single-shard accelerator launches take the VMEM-ring pallas
     # kernel (scan cores round-trip the ring through HBM per diagonal)
@@ -556,25 +637,8 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
         EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
         ilo = np.zeros(Lp + Rp - 1, np.int32)
         for b, i in enumerate(idxs):
-            job = jobs[i]
-            s = job.settings.for_reads() if job.is_reads_sequence \
-                else job.settings
-            path, end = finish_fanin(
-                inputs[b], bpB[b], tuple(sn[b] for sn in snapsB), ilo,
-                job.left, job.right, job.model, s,
-                job.left_branch_length, job.right_branch_length,
-                kr_decode=KR)
-            if path is None:
-                job.band = None
-                results[i] = _run_single(job, engine)
-                continue
-            anc = build_ancestral_graph(
-                job.left, job.right, path, job.model, s,
-                job.left_branch_length, job.right_branch_length,
-                job.is_reads_sequence,
-                compute_consensus=job.compute_consensus)
-            results[i] = (anc, end)
-        return
+            finish(b, i, bpB[b], tuple(sn[b] for sn in snapsB), ilo)
+        return paths
 
     stacked = inputs + [inputs[0]] * (pad_to - B)
     args = stack_fanin(stacked, Lp, Rp, KL, KR, G, dtype=dtype)
@@ -602,19 +666,26 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     D = Lp + Rp - 1
     ilo = np.zeros(D, np.int32)
     for b, i in enumerate(idxs):
+        finish(b, i, bp[:, b, :], (sM[b], sX[b], sY[b]), ilo)
+    return paths
+
+
+def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
+                        engine, dtype):
+    """Batched fan-in Viterbi fills + per-job ancestral builds."""
+    from ..align.ancestral import build_ancestral_graph
+    paths = _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards,
+                               dtype)
+    for b, i in enumerate(idxs):
         job = jobs[i]
-        settings = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
-        path, end = finish_fanin(
-            inputs[b], bp[:, b, :], (sM[b], sX[b], sY[b]), ilo,
-            job.left, job.right, job.model, settings,
-            job.left_branch_length, job.right_branch_length,
-            kr_decode=KR)
-        if path is None:
+        if paths[b] is None:
             # banded dead end: full-matrix retry via the single path
             job.band = None
             results[i] = _run_single(job, engine)
             continue
+        path, end = paths[b]
+        settings = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
         anc = build_ancestral_graph(job.left, job.right, path, job.model,
                                     settings,
                                     job.left_branch_length,
@@ -749,6 +820,166 @@ def _launch_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
                                      inputs[b]["L"], inputs[b]["R"],
                                      job.left_branch_length,
                                      job.right_branch_length)
+            fp.annotate_path(path, planes, end)
+        anc = build_ancestral_graph(
+            job.left, job.right, path, job.model, s,
+            job.left_branch_length, job.right_branch_length,
+            job.is_reads_sequence,
+            compute_consensus=job.compute_consensus)
+        if s.sample_additional_paths > 0:
+            from ..align.sampling import merge_sampled_graph
+            for _ in range(s.sample_additional_paths):
+                extra = fp.sample_path_planes(
+                    planes, s, rng, job.left_branch_length,
+                    job.right_branch_length)[0]
+                sg = build_ancestral_graph(
+                    job.left, job.right, extra, job.model, s,
+                    job.left_branch_length, job.right_branch_length,
+                    job.is_reads_sequence)
+                merge_sampled_graph(anc, sg)
+        results[i] = (anc, end)
+
+
+def _launch_fanin_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh,
+                                 n_shards, engine, dtype):
+    """One vmapped gather-core launch fills a bucket of FAN-IN
+    full-probability / sampling jobs' scaled fwd/bwd planes (plus one
+    batched fan-in Viterbi launch for the non-sampling jobs) — a
+    --sample-path / --full-probability progressive run no longer
+    serializes after generation 1 (task-parallel intent of
+    node.cpp:227-269 applied to viterbi_alignment.cpp:329-371)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace as _replace
+    import pagan2_tpu.align as al
+    from ..align import fullprob as fp
+    from ..align.ancestral import build_ancestral_graph
+    from ..io import plots
+
+    t_launch = time.perf_counter()
+    B = len(idxs)
+    pad_to = 1
+    while pad_to < B:
+        pad_to *= 2
+    pad_to = -(-pad_to // n_shards) * n_shards
+
+    sjobs = []
+    for i in idxs:
+        job = jobs[i]
+        s = job.settings.for_reads() if job.is_reads_sequence \
+            else job.settings
+        if (s.sample_path or s.sample_additional_paths > 0) and \
+                not s.compute_full_score:
+            s = _replace(s, compute_full_score=True)
+        sjobs.append(s)
+
+    inputs = [fp.fanin_fullprob_inputs(jobs[i].left, jobs[i].right,
+                                       jobs[i].model, dtype,
+                                       Lp=Lp, Rp=Rp)
+              for i in idxs]
+    KL = max(p["KL"] for p in inputs)
+    KR = max(p["KR"] for p in inputs)
+    KFL = max(p["KFL"] for p in inputs)
+    KFR = max(p["KFR"] for p in inputs)
+    OLm = max(p["OLm"] for p in inputs)
+    ORm = max(p["ORm"] for p in inputs)
+    F = max(8, ORm)
+    G = OLm + ORm
+    Gs = max(p["seed_block"].shape[0] for p in inputs)
+
+    def padk(a, k, axis):
+        if a.shape[axis] == k:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, k - a.shape[axis])
+        return np.pad(a, pad)
+
+    pads = inputs + [inputs[0]] * (pad_to - B)
+
+    def stack(fn):
+        return jnp.asarray(np.stack([fn(p) for p in pads]))
+
+    rexts = [(fp.fanin_rext(p["roffp"], p["rwp"], Lp, Rp, F),
+              fp.fanin_rext(p["rfoff"], p["rfw"], Lp, Rp, F))
+             for p in pads]
+    msp_b = stack(lambda p: p["msp_sh"])
+    consts_b = stack(lambda p: p["consts"])
+    Ldp_b = jnp.asarray(np.array([p["L"] for p in pads], np.int32))
+    Rdp_b = jnp.asarray(np.array([p["R"] for p in pads], np.int32))
+    loffp_b = stack(lambda p: padk(p["loffp"], KL, 1))
+    lwp_b = stack(lambda p: padk(p["lwp"], KL, 1))
+    lfoff_b = stack(lambda p: padk(p["lfoff"], KFL, 1))
+    lfw_b = stack(lambda p: padk(p["lfw"], KFL, 1))
+    roff_b = jnp.asarray(np.stack([padk(r[0][0], KR, 0)
+                                   for r in rexts]))
+    rw_b = jnp.asarray(np.stack([padk(r[0][1], KR, 0) for r in rexts]))
+    rfoff_b = jnp.asarray(np.stack([padk(r[1][0], KFR, 0)
+                                    for r in rexts]))
+    rfw_b = jnp.asarray(np.stack([padk(r[1][1], KFR, 0)
+                                  for r in rexts]))
+    seed_b = stack(lambda p: padk(p["seed_block"], Gs, 0))
+
+    fargs = [msp_b, loffp_b, lwp_b, roff_b, rw_b, consts_b, Ldp_b,
+             Rdp_b]
+    bargs = [msp_b, lfoff_b, lfw_b, rfoff_b, rfw_b, consts_b, Ldp_b,
+             Rdp_b, seed_b]
+    if mesh is not None and n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P("jobs"))
+        fargs = [jax.device_put(a, spec) for a in fargs]
+        bargs = [jax.device_put(a, spec) for a in bargs]
+    fwd, bwd = fp.fanin_gather_fills_batched(KL, KR, KFL, KFR, G)
+    fM, fX, fY, fcum = fwd(*fargs)
+    bM, bX, bY, bcum = bwd(*bargs)
+
+    from ..utils import fetch_np
+    fM, fX, fY, fcum = (fetch_np(fM), fetch_np(fX), fetch_np(fY),
+                        fetch_np(fcum))
+    bM, bX, bY, bcum = (fetch_np(bM), fetch_np(bX), fetch_np(bY),
+                        fetch_np(bcum))
+    EXEC_STATS["launches"] += 1
+    EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
+    log_out("batched fan-in full-prob launch: %d jobs (bucket %dx%d "
+            "K%d/%d G%d, %d shard%s)"
+            % (B, Lp, Rp, KL, KR, G, n_shards,
+               "s" if n_shards > 1 else ""), 3)
+
+    # batched fan-in Viterbi fill for the jobs that follow the best
+    # path (sampling jobs draw their path from the planes instead).
+    # Each logical job counts once in batched_jobs/cells: Viterbi jobs
+    # count inside _fanin_batch_paths, sampling-only jobs here.
+    vit = [b for b, i in enumerate(idxs) if not sjobs[b].sample_path]
+    EXEC_STATS["batched_jobs"] += B - len(vit)
+    EXEC_STATS["batched_cells"] += sum(
+        inputs[b]["L"] * inputs[b]["R"]
+        for b in range(B) if b not in set(vit))
+    vpaths = None
+    if vit:
+        vpaths = _fanin_batch_paths(jobs, [idxs[b] for b in vit], Lp,
+                                    Rp, mesh, n_shards, dtype)
+    vslot = {b: k for k, b in enumerate(vit)}
+
+    for b, i in enumerate(idxs):
+        job = jobs[i]
+        s = sjobs[b]
+        planes = fp.FullProbPlanes.from_arrays(
+            job.left, job.right, job.model, inputs[b],
+            (fM[b], fX[b], fY[b]), fcum[b],
+            (bM[b], bX[b], bY[b]), bcum[b], fanin=True)
+        if plots.posterior_sink_active():
+            plots.add_posterior_figure_planes(planes)
+        rng = al._RNG or np.random.default_rng()
+        if s.sample_path:
+            path, end = fp.sample_path_planes(
+                planes, s, rng, job.left_branch_length,
+                job.right_branch_length)
+        else:
+            pe = vpaths[vslot[b]]
+            if pe is None:      # pragma: no cover - no bands here
+                results[i] = _run_single(job, engine)
+                continue
+            path, end = pe
             fp.annotate_path(path, planes, end)
         anc = build_ancestral_graph(
             job.left, job.right, path, job.model, s,

@@ -102,7 +102,7 @@ def _forced_single(monkeypatch):
 
     def plan(job):
         kind = orig(job)
-        return "single" if kind in ("batch_fp",) else kind
+        return "single" if kind in ("batch_fp", "fanin_fp") else kind
     monkeypatch.setattr(executor, "_plan_job", plan)
 
 
@@ -162,6 +162,124 @@ def test_sample_path_jobs_batch_through_executor(monkeypatch):
                               settings=s)
     assert {e.name: e.sequence for e in res_b.alignment} == \
         {e.name: e.sequence for e in res_s.alignment}
+
+
+def _fanin_jobs(n, seed, length=50, fullprob=False, sample=False):
+    """Independent 454-graph pair jobs (ANY fan-in: homopolymer skip
+    edges), the defining graph workload."""
+    from dataclasses import replace
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import ModelFactory
+    from pagan2_tpu.align import AlignSettings
+    rng = np.random.default_rng(seed)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    s = AlignSettings()
+    if fullprob or sample:
+        s = replace(s, compute_full_score=fullprob, sample_path=sample)
+    jobs = []
+    for t in range(n):
+        base = rng.choice(list("AACCGGTT"), size=length)
+        base[5:10] = "A"
+        base[length // 2:length // 2 + 5] = "T"
+        s1 = "".join(base)
+        mut = base.copy()
+        idx = rng.random(length) < 0.12
+        mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+        s2 = "".join(mut)
+        g1 = build_leaf_graph(s1, alph.DNA, mode454=True)
+        g2 = build_leaf_graph(s2, alph.DNA, mode454=True)
+        jobs.append(executor.PairJob(left=g1, right=g2, model=model,
+                                     settings=s))
+    return jobs
+
+
+def _job_alignment_keys(results):
+    return [tuple(int(anc.states[i]) for i in range(anc.num_sites()))
+            + tuple(int(anc.site_type[i])
+                    for i in range(anc.num_sites()))
+            for anc, _e in results]
+
+
+def test_fanin_batch_sharded_matches_unsharded():
+    """_launch_fanin_batch with n_shards > 1: the sharded stacking
+    (including the replicated ilo_ext window schedule,
+    executor.py stack path) must be bit-identical to the unsharded
+    launch on 454 fan-in graphs — the framework's defining workload on
+    a mesh (viterbi_alignment.cpp:1353-1436 runs any graph)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    executor.reset_stats()
+    mesh = executor.make_jobs_mesh(4)
+    res_m = executor.execute_pair_jobs(_fanin_jobs(8, seed=2),
+                                       mesh=mesh)
+    stats_m = dict(executor.EXEC_STATS)
+    assert stats_m["batched_jobs"] == 8, stats_m
+    assert stats_m["single_jobs"] == 0, stats_m
+
+    executor.reset_stats()
+    res_1 = executor.execute_pair_jobs(_fanin_jobs(8, seed=2))
+    assert executor.EXEC_STATS["batched_jobs"] == 8
+    assert _job_alignment_keys(res_m) == _job_alignment_keys(res_1)
+
+
+def test_fanin_fullprob_batch_matches_singles(monkeypatch):
+    """Fan-in full-probability jobs batch through the vmapped gather
+    cores (round-3 weakness: they serialized), matching the sequential
+    path's ancestors and posterior supports."""
+    executor.reset_stats()
+    res_b = executor.execute_pair_jobs(
+        _fanin_jobs(6, seed=5, fullprob=True))
+    stats = dict(executor.EXEC_STATS)
+    assert stats["batched_jobs"] == 6, stats
+    assert stats["single_jobs"] == 0, stats
+
+    _forced_single(monkeypatch)
+    executor.reset_stats()
+    res_s = executor.execute_pair_jobs(
+        _fanin_jobs(6, seed=5, fullprob=True))
+    assert executor.EXEC_STATS["batched_jobs"] == 0
+    assert _job_alignment_keys(res_b) == _job_alignment_keys(res_s)
+    for (ab, _), (asq, _) in zip(res_b, res_s):
+        np.testing.assert_allclose(
+            np.asarray(ab.posterior_support[1:ab.num_sites() - 1],
+                       float),
+            np.asarray(asq.posterior_support[1:asq.num_sites() - 1],
+                       float), rtol=1e-9)
+
+
+def test_fanin_fullprob_batch_sharded(monkeypatch):
+    """Sharded fan-in full-prob: the vmapped gather-core launch over a
+    jobs mesh must match the unsharded batch."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    executor.reset_stats()
+    mesh = executor.make_jobs_mesh(4)
+    res_m = executor.execute_pair_jobs(
+        _fanin_jobs(8, seed=13, fullprob=True), mesh=mesh)
+    assert executor.EXEC_STATS["batched_jobs"] == 8, executor.EXEC_STATS
+    res_1 = executor.execute_pair_jobs(
+        _fanin_jobs(8, seed=13, fullprob=True))
+    assert _job_alignment_keys(res_m) == _job_alignment_keys(res_1)
+
+
+def test_fanin_sample_path_batch_matches_sequential(monkeypatch):
+    """--sample-path on fan-in graphs: batched planes + in-order host
+    draws reproduce the sequential RNG stream."""
+    import pagan2_tpu.align as al
+    al.set_sampling_seed(21)
+    executor.reset_stats()
+    res_b = executor.execute_pair_jobs(
+        _fanin_jobs(4, seed=17, sample=True))
+    assert executor.EXEC_STATS["batched_jobs"] == 4, executor.EXEC_STATS
+
+    _forced_single(monkeypatch)
+    al.set_sampling_seed(21)
+    res_s = executor.execute_pair_jobs(
+        _fanin_jobs(4, seed=17, sample=True))
+    assert _job_alignment_keys(res_b) == _job_alignment_keys(res_s)
 
 
 def test_batched_linear_pallas_launch_matches_singles(monkeypatch):

@@ -155,3 +155,93 @@ def test_executor_routes_giant_pairs_to_shardband(model, monkeypatch):
     assert end.score == pytest.approx(end_s.score, rel=1e-12)
     assert [int(x) for x in anc.states[:anc.num_sites()]] == \
         [int(x) for x in anc_s.states[:anc_s.num_sites()]]
+
+
+def _fanin_pair(seed, n, sub=0.1):
+    rng = np.random.default_rng(seed)
+    base = rng.choice(list("AACCGGTT"), size=n)
+    base[5:10] = "A"
+    base[n // 2:n // 2 + 5] = "T"
+    s1 = "".join(base)
+    mut = base.copy()
+    idx = rng.random(n) < sub
+    mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    g1 = build_leaf_graph(s1, alph.DNA, mode454=True)
+    g2 = build_leaf_graph("".join(mut), alph.DNA, mode454=True)
+    return g1, g2
+
+
+@pytest.mark.parametrize("ndev,n,H", [(4, 300, 32), (8, 260, 32)])
+def test_fanin_shardband_matches_scan_core(model, ndev, n, H):
+    """Band-axis-sharded fan-in fill (VERDICT r3 item 6): a 454 graph
+    pair's path over the mesh must be identical to the one-hot fan-in
+    scan core's (same candidate order, same codes)."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("needs the multi-device CPU mesh")
+    from pagan2_tpu.align.viterbi_shardband import (
+        shardband_fanin_align_path)
+    from pagan2_tpu.align.viterbi_fanin import fanin_align_path
+    mesh = _band_mesh(ndev)
+    s = AlignSettings()
+    g1, g2 = _fanin_pair(3, n)
+    path, end = shardband_fanin_align_path(g1, g2, model, s, mesh, H=H)
+    g1o, g2o = _fanin_pair(3, n)
+    opath, oend = fanin_align_path(g1o, g2o, model, s)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    assert end.score == pytest.approx(oend.score, rel=1e-12)
+
+
+def test_fanin_shardband_ancestor_pair(model):
+    """An ancestor graph (indel bridge edges) against a leaf — the
+    post-gen-1 progressive shape — shards bit-identically too."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    from pagan2_tpu.align import align_pair
+    from pagan2_tpu.align.viterbi_shardband import (
+        shardband_fanin_align_path)
+    from pagan2_tpu.align.viterbi_fanin import fanin_align_path
+    rng = np.random.default_rng(8)
+    base = "".join(rng.choice(list("ACGT"), size=240))
+    s2 = base[:80] + base[92:]
+    g1 = build_leaf_graph(base, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    s = AlignSettings()
+    anc, _ = align_pair(g1, g2, model, s, use_anchors=False)
+    import copy
+    anc2 = copy.deepcopy(anc)
+    leaf = build_leaf_graph(base, alph.DNA)
+    leaf2 = build_leaf_graph(base, alph.DNA)
+    mesh = _band_mesh(4)
+    path, end = shardband_fanin_align_path(anc, leaf, model, s, mesh)
+    opath, oend = fanin_align_path(anc2, leaf2, model, s)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    assert end.score == pytest.approx(oend.score, rel=1e-12)
+
+
+def test_executor_routes_giant_fanin_pairs_to_shardband(model,
+                                                       monkeypatch):
+    """A giant FAN-IN pair in an under-filled generation must band-axis
+    shard (round-3 capability hole: only linear pairs could)."""
+    from pagan2_tpu.parallel import executor
+    from pagan2_tpu.align import align_pair
+
+    monkeypatch.setattr(executor, "SHARDBAND_MIN_L", 128)
+    g1, g2 = _fanin_pair(11, 220)
+    s = AlignSettings()
+    mesh = executor.make_jobs_mesh(8)
+
+    executor.reset_stats()
+    jobs = [executor.PairJob(left=g1, right=g2, model=model,
+                             settings=s)]
+    res = executor.execute_pair_jobs(jobs, mesh=mesh, dtype=np.float64)
+    assert executor.EXEC_STATS["shardband_fills"] == 1, \
+        executor.EXEC_STATS
+    anc, end = res[0]
+
+    g1s, g2s = _fanin_pair(11, 220)
+    anc_s, end_s = align_pair(g1s, g2s, model, s, use_anchors=False)
+    assert end.score == pytest.approx(end_s.score, rel=1e-12)
+    assert [int(x) for x in anc.states[:anc.num_sites()]] == \
+        [int(x) for x in anc_s.states[:anc_s.num_sites()]]
