@@ -345,21 +345,26 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
     rw_win = sliding_window_view(rwpad, W)
 
     ms = np.zeros((Dpk, W), dtype)
-    tt = np.arange(W, dtype=np.int64)[None, :]
-    CH = max(1, (1 << 24) // W)
-    ds_all = np.arange(1, D, dtype=np.int64)
-    for c0 in range(1, D, CH):
-        c1 = min(c0 + CH, D)
-        dch = ds_all[c0 - 1:c1 - 1]
-        ilos = ilo[c0:c1].astype(np.int64)
-        ok = tt < w[c0:c1, None]
-        roff = np.clip(ilos, 0, L)
-        coff = np.clip(W + R - 1 - (dch - ilos), 0, R + W)
-        lsw = ls_win[roff]
-        rsw = rs_win[coff]
-        code = lsw * np.int64(nf) + rsw
-        vals = tflat[code] + lw_win[roff] + rw_win[coff] + lng
-        ms[c0 - 1:c1 - 1] = np.where(ok, vals, 0)
+    from .. import native
+    folded = (dtype == np.float32 and
+              native.fold_banded_ms(ls, rs, lw, rw, table, ilo, w,
+                                    L, R, D, W, float(lng), ms))
+    if not folded:
+        tt = np.arange(W, dtype=np.int64)[None, :]
+        CH = max(1, (1 << 24) // W)
+        ds_all = np.arange(1, D, dtype=np.int64)
+        for c0 in range(1, D, CH):
+            c1 = min(c0 + CH, D)
+            dch = ds_all[c0 - 1:c1 - 1]
+            ilos = ilo[c0:c1].astype(np.int64)
+            ok = tt < w[c0:c1, None]
+            roff = np.clip(ilos, 0, L)
+            coff = np.clip(W + R - 1 - (dch - ilos), 0, R + W)
+            lsw = ls_win[roff]
+            rsw = rs_win[coff]
+            code = lsw * np.int64(nf) + rsw
+            vals = tflat[code] + lw_win[roff] + rw_win[coff] + lng
+            ms[c0 - 1:c1 - 1] = np.where(ok, vals, 0)
     ms = ms.reshape(Dpk, S, Wl)
 
     brkx = settings.x_read1_length if settings.pair_end_reads else -2

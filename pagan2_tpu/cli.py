@@ -252,6 +252,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "replaces the boost work queue")
     x.add_argument("--devices", type=int, default=None,
                    help="alias of --threads: size of the jobs mesh axis")
+    # multi-host execution (TPU-native extension; the reference is
+    # single-process): every host runs the same command with its RANK
+    x.add_argument("--jax-coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address for "
+                        "multi-host runs")
+    x.add_argument("--jax-num-processes", type=int, default=1,
+                   help="number of processes in the multi-host run")
+    x.add_argument("--jax-process-id", type=int, default=0,
+                   help="this process's rank in the multi-host run")
     x.add_argument("--silent", action="store_true")
     x.add_argument("--noise", type=int, default=0)
     x.add_argument("--version", "-v", action="store_true",
@@ -489,7 +498,12 @@ def write_entries(entries, out, fmt, data_type):
 
 
 def _make_mesh(args):
-    """Jobs mesh from --devices/--threads (None on a single device)."""
+    """Jobs mesh from --devices/--threads (None on a single device);
+    with --jax-coordinator the mesh spans every connected process's
+    devices (parallel/multihost.py)."""
+    if args.jax_coordinator:
+        from .parallel.multihost import global_jobs_mesh
+        return global_jobs_mesh()
     n_dev = args.devices or args.threads
     if n_dev and n_dev > 1 and args.engine != "oracle":
         try:
@@ -684,6 +698,12 @@ def main(argv=None) -> int:
     # model_factory.cpp:670-838)
     from .models import alphabets as _alph
     _alph.set_protein_groups(args.use_aa_groups)
+    if args.jax_coordinator:
+        # multi-host: join the distributed runtime before any jax call
+        # initializes the local-only backend
+        from .parallel.multihost import init_multihost
+        init_multihost(args.jax_coordinator, args.jax_num_processes,
+                       args.jax_process_id)
     if args.version:
         from . import __version__
         print("pagan2-tpu v%s (TPU-native PAGAN2)" % __version__)
