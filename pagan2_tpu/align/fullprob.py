@@ -293,20 +293,7 @@ class FullProbPlanes:
             fM, fX, fY, fcum = fM[0], fX[0], fY[0], fcum[0]
             bM, bX, bY, bcum = bM[0], bX[0], bY[0], bcum[0]
         else:
-            m = model
-            lstates = np.asarray(left.states[:L], np.int32)
-            rstates = np.asarray(right.states[:R], np.int32)
-            msp = np.zeros((Lp, Rp), dtype)
-            msp[:L, :R] = m.score[np.ix_(lstates,
-                                         rstates)].astype(dtype)
-            msp_sh = _shear(jnp.asarray(msp), D)
-            consts = jnp.asarray(np.array(
-                [m.ext_prob, m.gap_close() * m.gap_open(),
-                 m.non_gap() * m.gap_open(),
-                 m.non_gap() * m.non_gap(),
-                 m.gap_close() * m.non_gap()], dtype))
-            fM, fX, fY, fcum, bM, bX, bY, bcum = \
-                self._run_fanin(msp_sh, consts, dtype)
+            fM, fX, fY, fcum, bM, bX, bY, bcum = self._run_fanin(dtype)
 
         self._finish((fM, fX, fY), fcum, (bM, bX, bY), bcum)
 
@@ -377,11 +364,13 @@ class FullProbPlanes:
                     % (self.log_total, self.log_total_bwd), 1)
 
     # -- fan-in graph path -------------------------------------------
-    def _run_fanin(self, msp_sh, consts, dtype):
+    def _run_fanin(self, dtype):
         """Prep + device fills for one fan-in graph pair."""
         L, R = self.L, self.R
         inp = fanin_fullprob_inputs(self.left, self.right, self.model,
                                     dtype)
+        msp_sh = jnp.asarray(inp["msp_sh"])
+        consts = jnp.asarray(inp["consts"])
         KL, KR = inp["KL"], inp["KR"]
         OLm, ORm = inp["OLm"], inp["ORm"]
         F = max(8, ORm)

@@ -354,14 +354,18 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
                     for i in bkt[key]:
                         if jobs[i].left.num_sites() - 1 >= \
                                 SHARDBAND_MIN_L:
-                            try:
+                            if runner is _run_shardband_fanin:
+                                try:
+                                    results[i] = runner(jobs[i], mesh,
+                                                        dtype)
+                                except ValueError:
+                                    # fan-in beyond the one-hot caps:
+                                    # windowed gather core, unsharded
+                                    results[i] = _run_single(jobs[i],
+                                                             engine)
+                            else:
                                 results[i] = runner(jobs[i], mesh,
                                                     dtype)
-                            except ValueError:
-                                # fan-in beyond the one-hot caps:
-                                # windowed gather core, unsharded
-                                results[i] = _run_single(jobs[i],
-                                                         engine)
                         else:
                             keep.append(i)
                     if keep:
@@ -885,7 +889,11 @@ def _launch_fanin_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh,
     OLm = max(p["OLm"] for p in inputs)
     ORm = max(p["ORm"] for p in inputs)
     F = max(8, ORm)
-    G = OLm + ORm
+    # bucket the ring depth like the Viterbi path so generations with
+    # creeping bridge offsets reuse one compiled kernel (extra ring
+    # planes are inert: offsets never reach them)
+    from ..align.viterbi_fanin import _g_bucket
+    G = _g_bucket(OLm + ORm)
     Gs = max(p["seed_block"].shape[0] for p in inputs)
 
     def padk(a, k, axis):

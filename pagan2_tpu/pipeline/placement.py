@@ -153,24 +153,39 @@ def _read_match_score(target: TreeNode, read_graph, model, settings,
 
 
 def _preselect_candidates(entry, cand, nodes_map, keep_best: int,
+                          data_type: str = alph.DNA, cache=None,
                           k: int = 11) -> list[str]:
     """--fast-placement / --very-fast-placement: native stand-in for
     the exonerate preselection subprocess (settings.cpp:355-380,
     reads_aligner.cpp:1841-1994) — keep the `keep_best` candidate
-    nodes sharing the most k-mers with the query (both strands counted
-    via the max) before the full quick-pairwise scoring."""
+    nodes sharing the most k-mers with the query (DNA counts both
+    strands) before the full quick-pairwise scoring. `cache` (one dict
+    per placement run) holds each node's k-mer set so Q queries cost
+    O(nodes + Q*qlen), not O(Q*nodes*len)."""
     if keep_best <= 0 or len(cand) <= keep_best:
         return cand
+    if data_type == alph.PROTEIN:
+        k = 5
     q = entry.sequence.upper().replace("-", "")
     k = min(k, max(len(q) // 2, 3))
     qk = {q[i:i + k] for i in range(len(q) - k + 1)}
-    qrc = revcomp(q)
-    qk |= {qrc[i:i + k] for i in range(len(qrc) - k + 1)}
+    if data_type == alph.DNA:
+        qrc = revcomp(q)
+        qk |= {qrc[i:i + k] for i in range(len(qrc) - k + 1)}
+    if cache is None:
+        cache = {}
+
+    def node_kmers(nm):
+        key = (nm, k)
+        got = cache.get(key)
+        if got is None:
+            s = "".join(nodes_map[nm].graph.unaligned_symbols()).upper()
+            got = [s[i:i + k] for i in range(len(s) - k + 1)]
+            cache[key] = got
+        return got
 
     def kmer_score(nm):
-        g = nodes_map[nm].graph
-        s = "".join(g.unaligned_symbols()).upper()
-        return sum(s[i:i + k] in qk for i in range(len(s) - k + 1))
+        return sum(km in qk for km in node_kmers(nm))
 
     scored = sorted(cand, key=kmer_score, reverse=True)
     return [nm for nm in cand if nm in set(scored[:keep_best])]
@@ -450,6 +465,100 @@ def _select_best_orf(entry, cand, nodes_map, model, settings,
         dna_sequence=entry.sequence)
 
 
+def _read_leaf(entry: FastaEntry, rc: bool, data_type: str,
+               cfg: PlacementConfig) -> TreeNode:
+    seq = clean_sequence(entry.sequence, data_type)
+    n = TreeNode(name=entry.name, dist=cfg.query_distance)
+    n.graph = build_leaf_graph(seq, data_type, turn_revcomp=rc)
+    n.graph.is_read_sequence = True
+    return n
+
+
+def _align_accept_splice(tree, target, ref_node_name, entry, rev_hint,
+                         single_cand, count, orig_dist, cfg, model,
+                         settings, data_type, model_factory,
+                         compare_reverse, min_ov, min_id, name_counts,
+                         placed, single_ref):
+    """The shared insertion tail of query_placement_one/_all
+    (reads_aligner.cpp:727-911 / :483-620): align the query against
+    `target` (strand chosen during scoring skips the other alignment,
+    query_strand :727-750), accept by overlap/identity, splice the new
+    parent into the tree (correct_sites_index), inherit TID when
+    --tid-for-subroot, fix local branch lengths, push parsimony one
+    level. `orig_dist` is the caller-carried distance budget (read per
+    query in the per-query mode, per group in --fragments, as the
+    reference does). Returns (accepted, tree, single_ref, count,
+    orig_dist, new_node)."""
+
+    def try_strand(rc: bool):
+        rnode = _read_leaf(entry, rc, data_type, cfg)
+        node = TreeNode(name=f"#{count}#", children=[target, rnode])
+        node.left.dist = 0.001
+        anc, _ = align_pair(target.graph, rnode.graph, model,
+                            settings, left_branch_length=0.001,
+                            right_branch_length=cfg.query_distance,
+                            is_reads_sequence=True, engine=cfg.engine)
+        if anc is None:
+            # anchoring-threshold skip (node.cpp:155-186)
+            return None, -1.0, -1.0
+        anc.is_read_sequence = True
+        anc.has_read_descendants = True
+        node.graph = anc
+        ov, ident = read_alignment_scores(
+            node, entry.name, ref_node_name,
+            overlap_with_any=cfg.overlap_with_any)
+        return node, ov, ident
+
+    node, ov, ident = (None, -1.0, -1.0)
+    if not (compare_reverse and rev_hint):
+        node, ov, ident = try_strand(False)
+    node_rc, ov_rc, ident_rc = (None, -1.0, -1.0)
+    if compare_reverse and (rev_hint or single_cand):
+        node_rc, ov_rc, ident_rc = try_strand(True)
+
+    if ov > ov_rc and ov > min_ov and ident > min_id:
+        new_node = node
+    elif ov_rc > min_ov and ident_rc > min_id:
+        new_node = node_rc
+    else:
+        # restore and reject (the carried orig_dist, matching the
+        # reference's unconditional set_distance_to_parent(orig_dist))
+        target.dist = orig_dist
+        return False, tree, single_ref, count, orig_dist, None
+
+    count += 1
+    if orig_dist > new_node.dist:
+        orig_dist -= new_node.dist
+    # unique read names for repeated placements
+    n_seen = name_counts.get(entry.name, 0)
+    if n_seen:
+        new_node.right.name = f"{entry.name}.{n_seen}"
+    name_counts[entry.name] = n_seen + 1
+    new_node.dist = orig_dist
+
+    if single_ref or ref_node_name == tree.name:
+        new_node.site_index_corrected = getattr(
+            tree, "site_index_corrected", False)
+        tree = new_node
+        single_ref = False
+    else:
+        if not _correct_sites_index(new_node, ref_node_name, tree):
+            new_node.site_index_corrected = getattr(
+                tree, "site_index_corrected", False)
+            tree = new_node
+    if cfg.tid_for_subroot:
+        # spliced parent inherits the target's NHX TID tag
+        # (reads_aligner.cpp:858-862)
+        new_node.nhx_tid = new_node.left.nhx_tid
+        new_node.left.nhx_tid = ""
+        new_node.right.nhx_tid = ""
+    _fix_branch_lengths(tree, new_node, data_type)
+    if _parent_of(tree, new_node.name) is not None:
+        _reconstruct_one_parsimony(tree, new_node, model_factory)
+    placed.append(new_node.right.name)
+    return True, tree, single_ref, count, orig_dist, new_node
+
+
 def _dna_score_context(cfg: PlacementConfig, data_type: str, dna_map):
     """--score-as-dna: DNA-level model for candidate scoring when the
     run is --translate'd (reads_aligner.cpp:2930-2942). Returns the DNA
@@ -490,13 +599,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     discarded: list[FastaEntry] = []
     placed: list[str] = []
     name_counts: dict[str, int] = {}
-
-    def read_leaf(entry: FastaEntry, rc: bool) -> TreeNode:
-        seq = clean_sequence(entry.sequence, data_type)
-        n = TreeNode(name=entry.name, dist=cfg.query_distance)
-        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=rc)
-        n.graph.is_read_sequence = True
-        return n
+    _kmer_cache: dict = {}   # per-run node k-mer sets (preselection)
 
     for entry in queries:
         nodes_map = _nodes_by_name(tree)
@@ -505,8 +608,12 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
         if "TID=" in (entry.comment or ""):
             qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
         cand = _candidate_names(tree, cfg, qtid)
-        cand = _preselect_candidates(entry, cand, nodes_map,
-                                     cfg.preselect_keep_best)
+        if not cfg.find_orfs:
+            # ORF queries are DNA against protein targets — k-mer
+            # preselection is meaningless there, ORF scoring picks
+            cand = _preselect_candidates(entry, cand, nodes_map,
+                                         cfg.preselect_keep_best,
+                                         data_type, _kmer_cache)
         if not cand:
             discarded.append(entry)
             continue
@@ -519,8 +626,9 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                 continue
             entry = orf_entry
         best_strand_rev = False
-        fwd_graph = read_leaf(entry, False).graph
-        rc_graph = read_leaf(entry, True).graph if compare_reverse else None
+        fwd_graph = _read_leaf(entry, False, data_type, cfg).graph
+        rc_graph = (_read_leaf(entry, True, data_type, cfg).graph
+                    if compare_reverse else None)
         if len(cand) == 1 and not cfg.rank_reads_for_nodes:
             # single matching node: assigned without scoring unless
             # --rank-reads-for-nodes asks for a real node_score
@@ -553,79 +661,17 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             target = _nodes_by_name(tree).get(ref_node_name)
             if target is None:
                 continue
+            # per-query distance budget (query_placement_one re-reads
+            # it for every read, reads_aligner.cpp:714)
             orig_dist = target.dist
-
-            def try_strand(rc: bool):
-                rnode = read_leaf(entry, rc)
-                node = TreeNode(name=f"#{count}#",
-                                children=[target, rnode])
-                node.left.dist = 0.001
-                anc, _ = align_pair(target.graph, rnode.graph, model,
-                                    settings, left_branch_length=0.001,
-                                    right_branch_length=cfg.query_distance,
-                                    is_reads_sequence=True,
-                                    engine=cfg.engine)
-                if anc is None:
-                    # anchoring-threshold skip (node.cpp:155-186)
-                    return None, -1.0, -1.0
-                anc.is_read_sequence = True
-                anc.has_read_descendants = True
-                node.graph = anc
-                ov, ident = read_alignment_scores(
-                    node, entry.name, ref_node_name,
-                    overlap_with_any=cfg.overlap_with_any)
-                return node, ov, ident
-
-            # strand chosen during target scoring skips the other
-            # alignment (query_strand, reads_aligner.cpp:727-750)
-            node, ov, ident = (None, -1.0, -1.0)
-            if not (compare_reverse and best_strand_rev):
-                node, ov, ident = try_strand(False)
-            node_rc, ov_rc, ident_rc = (None, -1.0, -1.0)
-            if compare_reverse and (best_strand_rev or len(cand) == 1):
-                node_rc, ov_rc, ident_rc = try_strand(True)
-
-            if ov > ov_rc and ov > min_ov and ident > min_id:
-                new_node = node
-            elif ov_rc > min_ov and ident_rc > min_id:
-                new_node = node_rc
-            else:
-                # restore and reject
-                target.dist = orig_dist
-                continue
-
-            count += 1
-            accepted_any = True
-            if orig_dist > new_node.dist:
-                orig_dist -= new_node.dist
-            # unique read names for repeated placements
-            n_seen = name_counts.get(entry.name, 0)
-            if n_seen:
-                new_node.right.name = f"{entry.name}.{n_seen}"
-            name_counts[entry.name] = n_seen + 1
-            new_node.dist = orig_dist
-
-            if single_ref or ref_node_name == tree.name:
-                new_node.site_index_corrected = getattr(
-                    tree, "site_index_corrected", False)
-                tree = new_node
-                single_ref = False
-            else:
-                if not _correct_sites_index(new_node, ref_node_name, tree):
-                    new_node.site_index_corrected = getattr(
-                        tree, "site_index_corrected", False)
-                    tree = new_node
-            if cfg.tid_for_subroot:
-                # spliced parent inherits the target's NHX TID tag
-                # (reads_aligner.cpp:858-862)
-                new_node.nhx_tid = new_node.left.nhx_tid
-                new_node.left.nhx_tid = ""
-                new_node.right.nhx_tid = ""
-            _fix_branch_lengths(tree, new_node, data_type)
-            parent = _parent_of(tree, new_node.name)
-            if parent is not None:
-                _reconstruct_one_parsimony(tree, new_node, model_factory)
-            placed.append(new_node.right.name)
+            ok, tree, single_ref, count, orig_dist, _nn = \
+                _align_accept_splice(
+                    tree, target, ref_node_name, entry,
+                    best_strand_rev, len(cand) == 1, count, orig_dist,
+                    cfg, model, settings, data_type, model_factory,
+                    compare_reverse, min_ov, min_id, name_counts,
+                    placed, single_ref)
+            accepted_any = accepted_any or ok
 
         if not accepted_any:
             discarded.append(entry)
@@ -670,13 +716,7 @@ def place_queries_grouped(res: ProgressiveResult,
     discarded: list[FastaEntry] = []
     placed: list[str] = []
     name_counts: dict[str, int] = {}
-
-    def read_leaf(entry: FastaEntry, rc: bool) -> TreeNode:
-        seq = clean_sequence(entry.sequence, data_type)
-        n = TreeNode(name=entry.name, dist=cfg.query_distance)
-        n.graph = build_leaf_graph(seq, data_type, turn_revcomp=rc)
-        n.graph.is_read_sequence = True
-        return n
+    _kmer_cache: dict = {}   # per-run node k-mer sets (preselection)
 
     # ---- phase 1: find nodes for ALL queries (find_nodes_for_queries /
     # find_targets_for_queries, :2458-2601) — one batched launch ----
@@ -689,8 +729,10 @@ def place_queries_grouped(res: ProgressiveResult,
         if "TID=" in (entry.comment or ""):
             qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
         cand = _candidate_names(tree, cfg, qtid)
-        cand = _preselect_candidates(entry, cand, nodes_map,
-                                     cfg.preselect_keep_best)
+        if not cfg.find_orfs:
+            cand = _preselect_candidates(entry, cand, nodes_map,
+                                         cfg.preselect_keep_best,
+                                         data_type, _kmer_cache)
         info = {"entry": entry, "cand": cand, "nodes": [],
                 "score": -float("inf"), "rev": False}
         per_query.append(info)
@@ -709,8 +751,8 @@ def place_queries_grouped(res: ProgressiveResult,
             info["nodes"] = [cand[0]]
             info["score"] = 1.0
             continue
-        fwd_graph = read_leaf(entry, False).graph
-        rc_graph = (read_leaf(entry, True).graph
+        fwd_graph = _read_leaf(entry, False, data_type, cfg).graph
+        rc_graph = (_read_leaf(entry, True, data_type, cfg).graph
                     if compare_reverse else None)
         jobs, smodel, per_strand = _build_score_jobs(
             entry, cand, nodes_map, fwd_graph, rc_graph, model,
@@ -755,74 +797,21 @@ def place_queries_grouped(res: ProgressiveResult,
         if target is None:
             continue
         orig_dist = target.dist
-        for qi, info in enumerate(group):
+        for info in group:
             entry = info["entry"]
-
-            def try_strand(rc: bool):
-                rnode = read_leaf(entry, rc)
-                node = TreeNode(name=f"#{count}#",
-                                children=[target, rnode])
-                node.left.dist = 0.001
-                anc, _ = align_pair(target.graph, rnode.graph, model,
-                                    settings, left_branch_length=0.001,
-                                    right_branch_length=cfg.query_distance,
-                                    is_reads_sequence=True,
-                                    engine=cfg.engine)
-                if anc is None:
-                    return None, -1.0, -1.0
-                anc.is_read_sequence = True
-                anc.has_read_descendants = True
-                node.graph = anc
-                ov, ident = read_alignment_scores(
-                    node, entry.name, ref_node_name,
-                    overlap_with_any=cfg.overlap_with_any)
-                return node, ov, ident
-
-            node, ov, ident = (None, -1.0, -1.0)
-            if not (compare_reverse and info["rev"]):
-                node, ov, ident = try_strand(False)
-            node_rc, ov_rc, ident_rc = (None, -1.0, -1.0)
-            if compare_reverse and (info["rev"] or
-                                    len(info["cand"]) == 1):
-                node_rc, ov_rc, ident_rc = try_strand(True)
-
-            if ov > ov_rc and ov > min_ov and ident > min_id:
-                new_node = node
-            elif ov_rc > min_ov and ident_rc > min_id:
-                new_node = node_rc
-            else:
-                target.dist = orig_dist
+            # orig_dist is carried across the group's insertions
+            # (query_placement_all reads it once per node group and
+            # decrements per accept, reads_aligner.cpp:476,534-537)
+            ok, tree, single_ref, count, orig_dist, new_node = \
+                _align_accept_splice(
+                    tree, target, ref_node_name, entry, info["rev"],
+                    len(info["cand"]) == 1, count, orig_dist, cfg,
+                    model, settings, data_type, model_factory,
+                    compare_reverse, min_ov, min_id, name_counts,
+                    placed, single_ref)
+            if not ok:
                 continue
-
-            count += 1
             accepted.add(id(entry))
-            if orig_dist > new_node.dist:
-                orig_dist -= new_node.dist
-            n_seen = name_counts.get(entry.name, 0)
-            if n_seen:
-                new_node.right.name = f"{entry.name}.{n_seen}"
-            name_counts[entry.name] = n_seen + 1
-            new_node.dist = orig_dist
-
-            if single_ref or ref_node_name == tree.name:
-                new_node.site_index_corrected = getattr(
-                    tree, "site_index_corrected", False)
-                tree = new_node
-                single_ref = False
-            else:
-                if not _correct_sites_index(new_node, ref_node_name,
-                                            tree):
-                    new_node.site_index_corrected = getattr(
-                        tree, "site_index_corrected", False)
-                    tree = new_node
-            if cfg.tid_for_subroot:
-                new_node.nhx_tid = new_node.left.nhx_tid
-                new_node.left.nhx_tid = ""
-                new_node.right.nhx_tid = ""
-            _fix_branch_lengths(tree, new_node, data_type)
-            if _parent_of(tree, new_node.name) is not None:
-                _reconstruct_one_parsimony(tree, new_node, model_factory)
-            placed.append(new_node.right.name)
             # current_root chaining: the merged node is the target for
             # the group's next query (:483-487)
             target = new_node

@@ -321,21 +321,29 @@ def threshold_distant_subset(tree: TreeNode, candidates: set[str],
     with choice_criterion=length (bppphysamp_tree.cpp:161-168): while
     any two kept reference leaves are closer than `threshold` in tree
     distance, drop the one with the shorter (ungapped) sequence."""
+    import numpy as np
     leaves = [l for l in tree.leaves() if l.name in candidates]
     names = [l.name for l in leaves]
-    if len(names) < 2:
+    n = len(names)
+    if n < 2:
         return set(names)
     dist = _leaf_distances(tree)
-    alive = set(names)
-    while len(alive) > 1:
-        pair = min(((a, b) for a in alive for b in alive if a < b),
-                   key=lambda p: dist(p[0], p[1]))
-        if dist(pair[0], pair[1]) >= threshold:
+    # one O(n^2) matrix; deletions just mask rows/columns
+    mat = np.full((n, n), np.inf)
+    for i in range(n):
+        for j in range(i + 1, n):
+            mat[i, j] = mat[j, i] = dist(names[i], names[j])
+    lengths = np.array([seq_length.get(nm, 0) for nm in names])
+    alive = np.ones(n, bool)
+    while alive.sum() > 1:
+        sub = np.where(alive, mat, np.inf)
+        sub = np.where(alive[:, None], sub, np.inf)
+        i, j = np.unravel_index(np.argmin(sub), sub.shape)
+        if sub[i, j] >= threshold:
             break
-        a, b = pair
-        drop = a if seq_length.get(a, 0) <= seq_length.get(b, 0) else b
-        alive.discard(drop)
-    return alive
+        drop = i if lengths[i] <= lengths[j] else j
+        alive[drop] = False
+    return {nm for nm, a in zip(names, alive) if a}
 
 
 def _leaf_distances(tree: TreeNode):
