@@ -106,3 +106,33 @@ def test_translated_placement():
     assert out.placed == ["q1_orf1"]
     names = [e.name for e in out.result.alignment]
     assert "q1_orf1" in names
+
+
+def test_translated_placement_fragments():
+    """--fragments + --find-orfs: translated_query_placement_all
+    (reads_aligner.cpp:1353-1436) — queries grouped per node, each
+    placed via its best ORF's translation."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from pagan2_tpu.pipeline.refread import read_reference_alignment
+    from pagan2_tpu.pipeline.placement import (place_queries,
+                                               PlacementConfig)
+    from pagan2_tpu.models import ModelFactory, alphabets as alph
+
+    protA = "MKLVINGGGHHEELLKKVV"
+    protB = "MKLVINGGGHHEELLKKIV"
+    entries = [FastaEntry(name="A", sequence=protA),
+               FastaEntry(name="B", sequence=protB)]
+    res = read_reference_alignment(entries, "(A:0.1,B:0.1);",
+                                   data_type=alph.PROTEIN)
+    qs = [FastaEntry(name="q1", sequence=_orf_dna(protA[2:15])),
+          FastaEntry(name="q2", sequence=_orf_dna(protA[1:16]))]
+    cfg = PlacementConfig(find_orfs=True, fragments=True,
+                          min_orf_length=10,
+                          min_query_overlap=0.2, min_query_identity=0.2,
+                          all_nodes=True, one_placement_only=True)
+    out = place_queries(res, qs, alph.PROTEIN, cfg,
+                        model_factory=ModelFactory(alph.PROTEIN))
+    assert sorted(out.placed) == ["q1_orf1", "q2_orf1"]
+    rows = {e.name: e.sequence for e in out.result.alignment}
+    assert len({len(s) for s in rows.values()}) == 1
