@@ -65,12 +65,15 @@ _STATE_LUT: dict = {}
 def _state_lut(a):
     """256-entry char -> state table (unknowns mapped like the per-char
     fallback below)."""
-    key = a.name
+    # key by (name, n_full) so flipping --use-aa-groups cannot reuse a
+    # stale plain-protein table
+    key = (a.name, a.n_full)
     if key not in _STATE_LUT:
-        unk = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+        unk = (a.n_full - 1 if a.name == alph.DNA
+               else a.state_of("X"))
         lut = np.full(256, unk, np.int64)
         for c in range(256):
-            st = a.state_of(chr(c).upper())
+            st = a.state_of(chr(c))
             if st >= 0:
                 lut[c] = st
         _STATE_LUT[key] = lut
@@ -99,9 +102,10 @@ def _build_default(g: SequenceGraph, sequence: str, a, *,
     for ch in sequence:
         if ch == "0":
             continue
-        state = a.state_of(ch.upper())
+        state = a.state_of(ch)
         if state < 0:
-            state = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+            state = (a.n_full - 1 if a.name == alph.DNA
+                     else a.state_of("X"))
         cur = g.add_site(state, symbol=ch, site_type=REAL_SITE,
                          path_state=TERMINAL)
 
@@ -167,10 +171,11 @@ def _build_fastq(g: SequenceGraph, sequence: str, quality: str, a, *,
             state = a.state_of("N") if a.name == alph.DNA else a.state_of("X")
             symbol = ch.lower()
         else:
-            state = a.state_of(ch.upper())
+            state = a.state_of(ch)
             symbol = ch
         if state < 0:
-            state = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+            state = (a.n_full - 1 if a.name == alph.DNA
+                     else a.state_of("X"))
         cur = g.add_site(state, symbol=symbol, site_type=site_type,
                          path_state=TERMINAL)
 
@@ -224,9 +229,10 @@ def build_graph_from_grp(sites: list[tuple[str, list[tuple[int, int, float]]]],
     g.add_site(-1, symbol="0", site_type=START_SITE, path_state=ENDS_SITE)
     g.add_edge(-1, 0)
     for symbol, _ in sites:
-        st = a.state_of(symbol.upper())
+        st = a.state_of(symbol)
         if st < 0:
-            st = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+            st = (a.n_full - 1 if a.name == alph.DNA
+                  else a.state_of("X"))
         g.add_site(st, symbol=symbol, site_type=REAL_SITE,
                    path_state=TERMINAL)
     last = g.add_site(-1, symbol="0", site_type=STOP_SITE,

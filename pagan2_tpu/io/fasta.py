@@ -94,14 +94,27 @@ def empirical_dna_frequencies(entries: list[FastaEntry]):
 def clean_sequence(seq: str, data_type: str) -> str:
     """Map unsupported characters to N/X and uppercase
     (Fasta_reader alphabet cleanup)."""
-    seq = seq.upper().replace("-", "").replace(".", "")
+    seq = seq.replace("-", "").replace(".", "")
     if data_type == "dna":
+        seq = seq.upper()
         # '0' is the pair-end read joint marker: the graph builders skip
         # it (sequence.cpp:173,390), so it must survive cleanup
         ok = set("ACGTRYMKWSBDHVN0")
         return "".join(ch if ch in ok else ("T" if ch == "U" else "N")
                        for ch in seq)
     ok = set("ARNDCQEGHILKMFPSTWYVX")
+    if data_type == "protein":
+        from ..models import alphabets as _alph
+        if _alph.protein_groups_active():
+            # --use-aa-groups: the 31 group states print as lowercase
+            # letters/digits (model_factory.cpp:673); keep them intact
+            # on re-ingestion instead of uppercasing to X
+            grp = set(_alph.PROTEIN_GROUP_CHARS)
+            return "".join(
+                ch if ch in grp else
+                (ch.upper() if ch.upper() in ok else "X")
+                for ch in seq)
+    seq = seq.upper()
     return "".join(ch if ch in ok else "X" for ch in seq)
 
 

@@ -73,7 +73,13 @@ class Alphabet:
         return "---" if self.name == CODON else "-"
 
     def state_of(self, symbol: str) -> int:
-        return self.char_to_state.get(symbol, -1)
+        """State index for a symbol; exact case first (the 51-group
+        alphabet's group states are lowercase letters/digits), then
+        case-folded (lowercase DNA/protein input)."""
+        st = self.char_to_state.get(symbol)
+        if st is None:
+            st = self.char_to_state.get(symbol.upper(), -1)
+        return st
 
 
 def _pair_index(n_canon: int, i: int, j: int) -> int:

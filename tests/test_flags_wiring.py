@@ -351,3 +351,28 @@ def test_score_as_dna_places_translated_query():
     assert out.placed == ["q"]
     rows = {e.name: e.sequence for e in out.result.alignment}
     assert rows["q"].replace("-", "") == "MKLVINS"
+
+
+def test_aa_groups_symbols_reingest():
+    """Group-state symbols (lowercase letters / digits) written by an
+    --use-aa-groups run survive re-ingestion: clean_sequence keeps
+    them, build_leaf_graph maps them back to their group states, and
+    unknown chars fall back to the real X wildcard (index 50, not the
+    'NG' group at n_canon=20)."""
+    from pagan2_tpu.io.fasta import clean_sequence
+    from pagan2_tpu.graph import build_leaf_graph
+    alph.set_protein_groups(True)
+    try:
+        a = alph.protein_groups_alphabet()
+        c = clean_sequence("MKLs1X*", alph.PROTEIN)
+        g = build_leaf_graph(c, alph.PROTEIN)
+        states = [int(g.states[i]) for i in range(1, g.num_sites() - 1)]
+        want = [a.char_to_state[ch] for ch in "MKLs1X"] + [50]
+        assert states == want
+    finally:
+        alph.set_protein_groups(False)
+    # plain protein still case-folds lowercase input
+    g = build_leaf_graph(clean_sequence("mkl", alph.PROTEIN),
+                         alph.PROTEIN)
+    assert [int(g.states[i]) for i in range(1, g.num_sites() - 1)] == \
+        [12, 11, 10]
