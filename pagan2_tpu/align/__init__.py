@@ -163,7 +163,8 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             # replace the oracle's O(L*R) host loops
             from .fullprob import (FullProbPlanes, fullprob_viterbi_path,
                                    sample_path_planes)
-            planes = FullProbPlanes(left, right, model, settings)
+            planes = FullProbPlanes(left, right, model, settings,
+                                    fanin=not linear_pair)
             if plots.posterior_sink_active():
                 plots.add_posterior_figure_planes(planes)
             if settings.sample_path:
@@ -173,7 +174,8 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             else:
                 path, end, planes = fullprob_viterbi_path(
                     left, right, model, settings,
-                    left_branch_length, right_branch_length, planes=planes)
+                    left_branch_length, right_branch_length,
+                    planes=planes, linear=linear_pair)
 
             def draw_extra():
                 return sample_path_planes(planes, settings, rng,

@@ -385,6 +385,11 @@ def _check_skipped_boundaries(anc, s):
                 anc.edges.bcount_skip[best] += 1
 
         if anc.fwd[i]:
+            # NB the reference compares fwd edges by START index
+            # (basic_alignment.cpp:407-410) — a no-op since every fwd
+            # edge of site i starts at i — so the FIRST fwd edge always
+            # wins there; replicated verbatim (do not "fix" to an
+            # end-index comparison, that would diverge)
             best = anc.fwd[i][0]
             for eid in anc.fwd[i][1:]:
                 if anc.edges.start[eid] < anc.edges.start[best]:

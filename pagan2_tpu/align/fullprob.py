@@ -231,12 +231,20 @@ def linear_fullprob_inputs(left, right, model, dtype=np.float64,
     msp[:L, :R] = m.score[np.ix_(lstates, rstates)].astype(dtype)
     msp_sh = np.ascontiguousarray(_shear_np(msp, D))
 
-    wl = np.ones(Lp, dtype)
-    for i in range(1, L):
-        wl[i] = float(left.edges.weight[left.bwd[i][0]])
-    wr = np.ones(R, dtype)
-    for j in range(1, R):
-        wr[j] = float(right.edges.weight[right.bwd[j][0]])
+    def edge_w_vec(g, n, npad):
+        """w[i] = raw weight of site i's bwd edge, vectorized (the
+        per-site Python loop dominated host prep on many-leaf
+        families, same hotspot as viterbi_sheared.edge_logw_vec)."""
+        out = np.ones(npad, dtype)
+        if n > 1:
+            ids = np.fromiter((g.bwd[i][0] for i in range(1, n)),
+                              np.int64, n - 1)
+            out[1:n] = np.asarray(g.edges.weight,
+                                  np.float64)[ids].astype(dtype)
+        return out
+
+    wl = edge_w_vec(left, L, Lp)
+    wr = edge_w_vec(right, R, R)
     wr_rext = _rext_np(wr, R, Rp, Lp, dtype)
 
     w_lstop = float(left.edges.weight[left.bwd[L][0]])
@@ -262,7 +270,8 @@ class FullProbPlanes:
     plane[d, i] * exp(cum[d]). Posteriors are computed scale-free.
     """
 
-    def __init__(self, left, right, model, settings, dtype=np.float64):
+    def __init__(self, left, right, model, settings, dtype=np.float64,
+                 fanin=None):
         self.left = left
         self.right = right
         self.model = model
@@ -273,9 +282,13 @@ class FullProbPlanes:
         self.Lp = Lp
         D = Lp + Rp - 1
 
-        from .viterbi_sheared import is_linear_chain
-        self.fanin = not (is_linear_chain(left) and
-                          is_linear_chain(right))
+        if fanin is None:
+            # callers that already know the chain property pass it in
+            # (is_linear_chain is an O(n) python scan per graph)
+            from .viterbi_sheared import is_linear_chain
+            fanin = not (is_linear_chain(left) and
+                         is_linear_chain(right))
+        self.fanin = fanin
 
         if not self.fanin:
             inp = linear_fullprob_inputs(left, right, model, dtype)
@@ -511,9 +524,14 @@ def annotate_path(path, planes: FullProbPlanes, end: MatrixPtr):
     end.full_score = 1.0
     i, j = planes.L - 1, planes.R - 1
     mat = end.matrix
-    body = path[:-1] if path and path[-1].mp is end else path
-    for pp in reversed(body):
+    for pp in reversed(path):
         mp = pp.mp
+        if mp is end:
+            # the end pointer keeps its sentinel scores (the oracle
+            # never revisits it); it is not always path[-1] — trailing
+            # pre-existing gaps follow it when the corner resolves
+            # through a site-skipping stop edge
+            continue
         if not pp.real_site:
             # pushed pre-existing gap: coordinates are explicit
             gi, gj = mp.x_ind, mp.y_ind
@@ -538,11 +556,14 @@ def annotate_path(path, planes: FullProbPlanes, end: MatrixPtr):
 
 def fullprob_viterbi_path(left, right, model, settings: AlignSettings,
                           left_branch_length=0.0, right_branch_length=0.0,
-                          dtype=np.float64, band=None, planes=None):
+                          dtype=np.float64, band=None, planes=None,
+                          linear=None):
     """Viterbi path via the sheared device kernel + posterior annotation
     from the probability planes. Returns (path, end, planes)."""
     from .viterbi_sheared import is_linear_chain, sheared_align_path
-    if is_linear_chain(left) and is_linear_chain(right):
+    if linear is None:
+        linear = is_linear_chain(left) and is_linear_chain(right)
+    if linear:
         path, end = sheared_align_path(left, right, model, settings,
                                        left_branch_length,
                                        right_branch_length,
@@ -554,7 +575,8 @@ def fullprob_viterbi_path(left, right, model, settings: AlignSettings,
                                      right_branch_length,
                                      dtype=dtype, band=band)
     if planes is None:
-        planes = FullProbPlanes(left, right, model, settings, dtype)
+        planes = FullProbPlanes(left, right, model, settings, dtype,
+                                fanin=not linear)
     annotate_path(path, planes, end)
     return path, end, planes
 
@@ -605,7 +627,7 @@ def sample_path_planes(planes: FullProbPlanes, settings: AlignSettings,
         (fs(Y_MAT, L - 1, R - 1) * gc * planes.w_rstop,
          Y_MAT, L - 1, R - 1, re0, -1),
     ]
-    c = _draw([(c[0],) + c[1:] for c in cands], rng)
+    c = _draw(cands, rng)
     end = MatrixPtr(score=c[0], matrix=c[1], x_ind=c[2], y_ind=c[3])
     if c[1] == M_MAT:
         end.x_edge_ind, end.y_edge_ind = c[4], c[5]

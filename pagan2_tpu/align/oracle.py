@@ -145,7 +145,11 @@ class PairAligner:
         return self.model.log_gap_open()
 
     def _log_gap_close_penalty(self, this_site: int, is_x: bool) -> float:
-        """basic_alignment.h:515-542"""
+        """basic_alignment.h:515-542. NB the terminal branch
+        (this_site == x_length = sites_length()) can never fire — edge
+        ends max out at sites_length()-1 — in the REFERENCE too
+        (basic_alignment.h:519,636); it is inert either way because
+        log_gap_close() is 0. Replicated verbatim, do not "fix"."""
         s = self.s
         if s.reduced_terminal_gap_penalties:
             if is_x and this_site == self.x_length:

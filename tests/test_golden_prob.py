@@ -207,3 +207,23 @@ def test_pair_end_golden_alignment(model):
         rj = anc.child_r[k]
         row.append("-" if rj < 0 else (r1 + r2)[rj - 1])
     assert "".join(row) == "ACGTAC------TTGGCA"
+
+
+def test_annotate_path_keeps_end_sentinels(model):
+    """When the Viterbi end resolves through a site-skipping stop edge
+    (end.x_ind < L-1), trailing pre-existing gaps follow the end in the
+    path; annotate_path must still leave the end pointer's sentinel
+    scores intact (full_score 1.0, fwd_score = the total probability —
+    the oracle never revisits the end, viterbi_alignment.cpp:1440-1567)."""
+    from pagan2_tpu.align.fullprob import fullprob_viterbi_path
+    g1 = build_leaf_graph("AC", alph.DNA)
+    g1.add_edge(1, 3, 4.0)      # strong bridge: Viterbi ends via it
+    g2 = build_leaf_graph("A", alph.DNA)
+    s = _fp_settings()
+    path, end, planes = fullprob_viterbi_path(g1, g2, model, s)
+    assert end.x_ind < planes.L - 1          # the interesting shape
+    assert any(not p.real_site for p in path)
+    assert end.full_score == 1.0
+    assert end.bwd_score == 1.0
+    assert end.fwd_score == pytest.approx(planes.total_fwd_score(),
+                                          rel=1e-12)
