@@ -784,9 +784,14 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
     # slower on TPU v5e); band bounds are honored as masks. The scan
     # stays for CPU, oversized streams, and over-cap graphs.
     from . import viterbi_pallas_fanin as vpf
+    # device-footprint guard: pallas_fanin_run pads a single pair to 8
+    # sublanes (compile reuse), so the real footprint is ~12 B/cell x 8
+    # batch rows (~96 B per logical cell); 4 GB keeps the same
+    # eligibility the old 512 MB x 12 B/cell guard had, with honest
+    # arithmetic
     use_pallas = ((vpf.INTERPRET or jax.default_backend() != "cpu")
                   and vpf.pallas_fanin_eligible([inp], 1, Lp)
-                  and D * Lp * 12 <= 512 * 1024 * 1024)
+                  and D * Lp * 12 * 8 <= 4 * 1024 ** 3)
     if use_pallas:
         def run_pallas(bnd):
             if bnd is not None:

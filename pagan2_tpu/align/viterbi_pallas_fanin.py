@@ -553,13 +553,16 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
     Dn = meta["Dn"]
     # convert the kernel's 8/8/8 packing to the scan cores' 16/8/8
     # uint32 layout (bm NONE 255 -> 65535)
-    raw = np.asarray(bp[:Dn]).astype(np.uint32)
+    # slice the batch padding off ON DEVICE before the fetch — a
+    # single pair padded to 8 sublanes would otherwise transfer 8x the
+    # backpointer planes through the (slow) host link
+    raw = np.asarray(bp[:Dn, :B]).astype(np.uint32)
     bm = raw & 255
     bm = np.where(bm == _P_NONE, np.uint32(_BM_NONE), bm)
     bpu = bm | (((raw >> 8) & 255) << 16) | (((raw >> 16) & 255) << 24)
     none_code = _BM_NONE + (_BX_NONE << 16) + (_BY_NONE << 24)
     out = np.full((B, Dn + 1, bpu.shape[2]), none_code, np.uint32)
-    out[:, 1:, :] = np.swapaxes(bpu[:, :B, :], 0, 1)
-    snaps = tuple(np.swapaxes(np.asarray(s)[:, :B, :], 0, 1)
+    out[:, 1:, :] = np.swapaxes(bpu, 0, 1)
+    snaps = tuple(np.swapaxes(np.asarray(s[:, :B, :]), 0, 1)
                   for s in (sM, sX, sY))
     return out, snaps

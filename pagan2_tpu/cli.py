@@ -542,18 +542,31 @@ def write_outputs(args, tree, alignment, data_type):
         from .io.plots import write_mpost_posterior_plots
         write_mpost_posterior_plots(args.mpost_posterior_plot_file,
                                     slope_up=args.plot_slope_up)
-    if tree is not None and args.output_consensus:
+    if tree is not None and (args.output_consensus or
+                             args.build_contigs):
         from .pipeline.pileup import reconstruct_contigs, PileupConfig
         ccfg = PileupConfig(
             consensus_minimum=args.consensus_minimum,
             consensus_minimum_proportion=args.consensus_minimum_proportion)
-        rows = reconstruct_contigs(
-            tree, ccfg, consensus_only=True,
-            include_parent=args.include_parent_in_contig,
-            show_ancestor=args.show_contig_ancestor)
-        if rows:
-            from .io.fasta import write_fasta
-            write_fasta(rows, out + "_consensus.fas")
+        if args.output_consensus:
+            rows = reconstruct_contigs(
+                tree, ccfg, consensus_only=True,
+                include_parent=args.include_parent_in_contig,
+                show_ancestor=args.show_contig_ancestor)
+            if rows:
+                from .io.fasta import write_fasta
+                write_fasta(rows, out + "_consensus.fas")
+        if args.build_contigs:
+            # --build-contigs: consensus plus the reads of each contig
+            # (input_output_parser.cpp:877-891,
+            # reconstruct_contigs(contigs, false))
+            rows = reconstruct_contigs(
+                tree, ccfg, consensus_only=False,
+                include_parent=args.include_parent_in_contig,
+                show_ancestor=args.show_contig_ancestor)
+            if rows:
+                from .io.fasta import write_fasta
+                write_fasta(rows, out + "_contigs.fas")
 
 
 def post_outputs(args, tree, alignment, data_type):

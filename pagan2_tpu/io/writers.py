@@ -5,6 +5,8 @@ Fasta_reader::write_graph / the .grp reader, fasta_reader.cpp:344-440,
 growing pileup root graph."""
 from __future__ import annotations
 
+from xml.sax.saxutils import escape, quoteattr
+
 from ..tree.newick import TreeNode
 from ..graph.sequence_graph import SequenceGraph
 from ..models import alphabets as alph
@@ -18,22 +20,25 @@ def write_xml(tree: TreeNode, entries: list[FastaEntry],
     out = ["<ms_alignment>"]
     if nhx:
         from ..pipeline.postprocess import print_nhx_tree
-        out.append("<newick>" + print_nhx_tree(tree) + "</newick>")
+        out.append("<newick>" + escape(print_nhx_tree(tree))
+                   + "</newick>")
     else:
         out.append("<newick>"
-                   + tree.to_newick(with_names_for_internal=True)
+                   + escape(tree.to_newick(with_names_for_internal=True))
                    + "</newick>")
     out.append("<nodes>")
     leaf_ids = {l.name: str(i + 1) for i, l in enumerate(tree.leaves())}
     for e in entries:
         is_internal = e.name.startswith("#") and e.name.endswith("#")
+        nm = quoteattr(e.name)
+        seq = escape(e.sequence)
         if is_internal:
-            out.append(f'<node id="{e.name}" name="{e.name}">')
-            out.append(f"  <sequence>\n    {e.sequence}\n  </sequence>\n</node>")
+            out.append(f'<node id={nm} name={nm}>')
+            out.append(f"  <sequence>\n    {seq}\n  </sequence>\n</node>")
         else:
-            nid = leaf_ids.get(e.name, e.name)
-            out.append(f'<leaf id="{nid}" name="{e.name}">')
-            out.append(f"  <sequence>\n    {e.sequence}\n  </sequence>\n</leaf>")
+            nid = quoteattr(leaf_ids.get(e.name, e.name))
+            out.append(f'<leaf id={nid} name={nm}>')
+            out.append(f"  <sequence>\n    {seq}\n  </sequence>\n</leaf>")
     out.append("</nodes>")
     out.append("</ms_alignment>")
     text = "\n".join(out) + "\n"
@@ -99,14 +104,18 @@ def read_graph_file(path_or_text, data_type: str = "dna",
 
     g = SequenceGraph(data_type, gap_symbol=a.gap_symbol)
     n = max(r[0] for r in rows) + 1
+    by_idx = {r[0]: r for r in rows}
     g.add_site(-1, symbol="0", site_type=START_SITE, path_state=ENDS_SITE)
     g.add_edge(-1, 0)
     for idx in range(1, n - 1):
-        row = next((r for r in rows if r[0] == idx), None)
+        row = by_idx.get(idx)
         sym = row[1] if row else "N"
-        st = a.state_of(sym.upper())
+        # state_of is case-aware: the 51-group aa alphabet's group
+        # states print as lowercase letters/digits and must round-trip
+        st = a.state_of(sym)
         if st < 0:
-            st = a.n_full - 1 if a.name == alph.DNA else a.n_canon
+            st = (a.n_full - 1 if a.name == alph.DNA
+                  else a.state_of("X"))
         g.add_site(st, symbol=sym, site_type=REAL_SITE, path_state=TERMINAL)
     g.add_site(-1, symbol="0", site_type=STOP_SITE, path_state=ENDS_SITE)
     for idx, _sym, edges in rows:

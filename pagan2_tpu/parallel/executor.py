@@ -129,13 +129,26 @@ def _plan_job(job: PairJob):
     return "batch" if linear else "fanin"
 
 
+def _job_settings(job: PairJob) -> AlignSettings:
+    """Per-job effective settings, mirroring align_pair's widening:
+    reads jobs AND --keep-all-edges jobs take the permissive skip
+    limits (viterbi_alignment.cpp:206) — batched launches must match
+    the single-dispatch path or output depends on batch width."""
+    s = job.settings
+    if job.is_reads_sequence or s.keep_all_edges:
+        s = s.for_reads()
+    return s
+
+
 def _run_single(job: PairJob, engine: str):
     from ..align import align_pair
     EXEC_STATS["single_jobs"] += 1
-    settings = job.settings.for_reads() if job.is_reads_sequence \
-        else job.settings
-    return align_pair(job.left, job.right, job.model, settings,
+    # align_pair applies the same widening internally and forwards
+    # is_reads_sequence into the ancestral build (anc.is_read_sequence
+    # must not depend on whether the job batched)
+    return align_pair(job.left, job.right, job.model, job.settings,
                       job.left_branch_length, job.right_branch_length,
+                      is_reads_sequence=job.is_reads_sequence,
                       engine=engine, band=job.band,
                       compute_consensus=job.compute_consensus)
 
@@ -151,8 +164,7 @@ def _run_shardband(job: PairJob, mesh, dtype):
     from ..align.ancestral import build_ancestral_graph
     from ..align.viterbi_shardband import shardband_align_path
     t0 = time.perf_counter()
-    settings = job.settings.for_reads() if job.is_reads_sequence \
-        else job.settings
+    settings = _job_settings(job)
     # the executor mesh axis is `jobs`; rebuild over the same devices
     # with the `band` axis the shard_map fill partitions on
     from jax.sharding import Mesh
@@ -189,8 +201,7 @@ def _run_shardband_fanin(job: PairJob, mesh, dtype):
     from ..align.ancestral import build_ancestral_graph
     from ..align.viterbi_shardband import shardband_fanin_align_path
     t0 = time.perf_counter()
-    settings = job.settings.for_reads() if job.is_reads_sequence \
-        else job.settings
+    settings = _job_settings(job)
     from jax.sharding import Mesh
     band_mesh = Mesh(mesh.devices.reshape(-1), ("band",))
     path, end = shardband_fanin_align_path(
@@ -225,8 +236,7 @@ def _stack_sheared(jobs: list[PairJob], Lp: int, Rp: int, pad_to: int,
     per_job = []
     inputs = []
     for job in jobs:
-        s = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        s = _job_settings(job)
         inp = prepare_sheared(job.left, job.right, job.model, s,
                               dtype=dtype)
         upper = job.band[0] if job.band else None
@@ -265,8 +275,7 @@ def _finish_sheared(job: PairJob, inp, bp, final, engine: str):
         # (viterbi_alignment.cpp:298-317)
         job.band = None
         return _run_single(job, engine)
-    settings = job.settings.for_reads() if job.is_reads_sequence \
-        else job.settings
+    settings = _job_settings(job)
     cells = _ShearedCells(bp, job.left, job.right)
     end = _end_corner_linear(final, job.left, job.right, job.model,
                              inp["L"], inp["R"])
@@ -373,63 +382,27 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
                     else:
                         del bkt[key]
 
-    for (Lp, Rp), idxs in sorted(buckets.items()):
-        if len(idxs) == 1 and n_shards == 1:
-            # no batching win; single dispatch avoids the stack copy
-            i = idxs[0]
-            results[i] = _run_single(jobs[i], engine)
-            continue
-        # chunk the bucket so one launch stays under the cell budget
-        per_job_cells = Lp * Rp
-        chunk = max(n_shards,
-                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
-                    * n_shards or n_shards)
-        for c0 in range(0, len(idxs), chunk):
-            part = idxs[c0:c0 + chunk]
-            _launch_sheared_batch(jobs, part, results, Lp, Rp, mesh,
-                                  n_shards, engine, dtype)
-
-    for (Lp, Rp), idxs in sorted(fanin_buckets.items()):
-        if len(idxs) == 1 and n_shards == 1:
-            i = idxs[0]
-            results[i] = _run_single(jobs[i], engine)
-            continue
-        per_job_cells = Lp * Rp
-        chunk = max(n_shards,
-                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
-                    * n_shards or n_shards)
-        for c0 in range(0, len(idxs), chunk):
-            part = idxs[c0:c0 + chunk]
-            _launch_fanin_batch(jobs, part, results, Lp, Rp, mesh,
-                                n_shards, engine, dtype)
-
-    for (Lp, Rp), idxs in sorted(fp_buckets.items()):
-        if len(idxs) == 1 and n_shards == 1:
-            i = idxs[0]
-            results[i] = _run_single(jobs[i], engine)
-            continue
-        per_job_cells = Lp * Rp
-        chunk = max(n_shards,
-                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
-                    * n_shards or n_shards)
-        for c0 in range(0, len(idxs), chunk):
-            part = idxs[c0:c0 + chunk]
-            _launch_fullprob_batch(jobs, part, results, Lp, Rp, mesh,
-                                   n_shards, engine, dtype)
-
-    for (Lp, Rp), idxs in sorted(fanin_fp_buckets.items()):
-        if len(idxs) == 1 and n_shards == 1:
-            i = idxs[0]
-            results[i] = _run_single(jobs[i], engine)
-            continue
-        per_job_cells = Lp * Rp
-        chunk = max(n_shards,
-                    (MAX_BATCH_CELLS // per_job_cells // n_shards)
-                    * n_shards or n_shards)
-        for c0 in range(0, len(idxs), chunk):
-            part = idxs[c0:c0 + chunk]
-            _launch_fanin_fullprob_batch(jobs, part, results, Lp, Rp,
-                                         mesh, n_shards, engine, dtype)
+    # one dispatch loop per bucket kind: single-job shortcut, then
+    # chunking so one launch stays under the cell budget
+    for bkt, launcher in ((buckets, _launch_sheared_batch),
+                          (fanin_buckets, _launch_fanin_batch),
+                          (fp_buckets, _launch_fullprob_batch),
+                          (fanin_fp_buckets,
+                           _launch_fanin_fullprob_batch)):
+        for (Lp, Rp), idxs in sorted(bkt.items()):
+            if len(idxs) == 1 and n_shards == 1:
+                # no batching win; single dispatch avoids the stack copy
+                i = idxs[0]
+                results[i] = _run_single(jobs[i], engine)
+                continue
+            per_job_cells = Lp * Rp
+            chunk = max(n_shards,
+                        (MAX_BATCH_CELLS // per_job_cells // n_shards)
+                        * n_shards or n_shards)
+            for c0 in range(0, len(idxs), chunk):
+                part = idxs[c0:c0 + chunk]
+                launcher(jobs, part, results, Lp, Rp, mesh, n_shards,
+                         engine, dtype)
     return results
 
 
@@ -512,8 +485,7 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
         inputs = []
         for i in part:
             job = jobs[i]
-            s = job.settings.for_reads() if job.is_reads_sequence \
-                else job.settings
+            s = _job_settings(job)
             inp = prepare_sheared(job.left, job.right, job.model, s,
                                   np.float32)
             _add_scalar_params(inp)
@@ -541,8 +513,7 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
         EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
         for b, i in enumerate(part):
             job = jobs[i]
-            s = job.settings.for_reads() if job.is_reads_sequence \
-                else job.settings
+            s = _job_settings(job)
             L, R = inputs[b]["L"], inputs[b]["R"]
             li = L - 1
             final = np.array([fM[b, li], fX[b, li], fY[b, li]])
@@ -593,8 +564,7 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
     inputs = []
     for i in idxs:
         job = jobs[i]
-        s = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        s = _job_settings(job)
         inp = prepare_fanin(job.left, job.right, job.model, s,
                             dtype=dtype)
         if job.band is not None:
@@ -614,8 +584,7 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
 
     def finish(b, i, bp_b, snaps_b, ilo):
         job = jobs[i]
-        s = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        s = _job_settings(job)
         paths[b] = finish_fanin(
             inputs[b], bp_b, snaps_b, ilo,
             job.left, job.right, job.model, s,
@@ -688,8 +657,7 @@ def _launch_fanin_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
             results[i] = _run_single(job, engine)
             continue
         path, end = paths[b]
-        settings = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        settings = _job_settings(job)
         anc = build_ancestral_graph(job.left, job.right, path, job.model,
                                     settings,
                                     job.left_branch_length,
@@ -730,8 +698,7 @@ def _launch_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     sjobs = []
     for i in idxs:
         job = jobs[i]
-        s = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        s = _job_settings(job)
         if (s.sample_path or s.sample_additional_paths > 0) and \
                 not s.compute_full_score:
             # sampling draws from fwd probabilities
@@ -771,8 +738,14 @@ def _launch_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh, n_shards,
     vinputs = None
     if vit:
         vjobs = [jobs[idxs[b]] for b in vit]
-        vargs, vinputs = _stack_sheared(
-            vjobs, Lp, Rp, -(-len(vit) // n_shards) * n_shards, dtype)
+        # pad to a power of two (and a mesh multiple) like
+        # _launch_sheared_batch, so shrinking generations reuse ONE
+        # compiled fill instead of one per distinct job count
+        vpad = 1
+        while vpad < len(vit):
+            vpad *= 2
+        vpad = -(-vpad // n_shards) * n_shards
+        vargs, vinputs = _stack_sheared(vjobs, Lp, Rp, vpad, dtype)
         if mesh is not None and n_shards > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             spec = NamedSharding(mesh, P("jobs"))
@@ -871,8 +844,7 @@ def _launch_fanin_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh,
     sjobs = []
     for i in idxs:
         job = jobs[i]
-        s = job.settings.for_reads() if job.is_reads_sequence \
-            else job.settings
+        s = _job_settings(job)
         if (s.sample_path or s.sample_additional_paths > 0) and \
                 not s.compute_full_score:
             s = _replace(s, compute_full_score=True)

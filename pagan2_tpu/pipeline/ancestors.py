@@ -112,7 +112,12 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
                 v = v * (pl @ lL[li])
             if ri >= 0:
                 v = v * (pr @ rL[ri])
-            L[i] = v
+            # per-site rescaling: partials shrink multiplicatively per
+            # level and underflow to 0 on deep trees, silently skipping
+            # the argmax assignment below; the argmax posteriors are
+            # scale-invariant, so normalize here
+            m = v.max()
+            L[i] = v / m if m > 0 else v
         up[id(node)] = L
         return L
 
@@ -147,7 +152,9 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
                 msg = down[i].copy()
                 if si >= 0:
                     msg = msg * (psib @ up[id(sib)][si])
-                cd[ci] = msg @ pc
+                msg = msg @ pc
+                m = msg.max()
+                cd[ci] = msg / m if m > 0 else msg
             downward(child, cd)
 
     root_down = np.tile(pi, (tree.graph.num_sites(), 1))

@@ -15,6 +15,10 @@ from ..models import ModelFactory, alphabets as alph
 from ..align import align_pair, AlignSettings
 from ..tree.newick import TreeNode
 
+# DNA state -> display char for contig read rows (contigs are a
+# DNA-only feature, input_output_parser.cpp:484-486)
+_STATE_CHARS = alph.DNA_FULL_CHARS
+
 
 @dataclass
 class PileupConfig:
@@ -46,35 +50,42 @@ class PileupResult:
 def _has_site_and_state(node: TreeNode, j: int, name: str):
     """has_site_at_alignment_column / get_state_at_alignment_column
     (node.h:1107-1138): descend child indices from the root column to
-    the named node — which may be internal (query placement targets)."""
-    g = node.graph
-    if node.name == name:
-        return True, g.states[j]
-    if node.is_leaf:
-        return False, -2
-    lj = g.child_l[j]
-    rj = g.child_r[j]
-    if lj >= 0:
-        found, st = _has_site_and_state(node.left, lj, name)
-        if found:
-            return True, st
-    if rj >= 0:
-        found, st = _has_site_and_state(node.right, rj, name)
-        if found:
-            return True, st
+    the named node — which may be internal (query placement targets).
+    Iterative DFS (left first): the pileup ladder tree is one level
+    deep per accepted read, so recursion would blow the stack on
+    thousand-read piles."""
+    stack = [(node, j)]
+    while stack:
+        n, jj = stack.pop()
+        if n.name == name:
+            return True, n.graph.states[jj]
+        if n.is_leaf:
+            continue
+        g = n.graph
+        lj = g.child_l[jj]
+        rj = g.child_r[jj]
+        if rj >= 0:
+            stack.append((n.right, rj))
+        if lj >= 0:
+            stack.append((n.left, lj))
     return False, -2
 
 
 def _any_other_has_site(node: TreeNode, j: int, name: str) -> bool:
-    g = node.graph
-    if node.is_leaf:
-        return node.name != name
-    lj = g.child_l[j]
-    rj = g.child_r[j]
-    if lj >= 0 and _any_other_has_site(node.left, lj, name):
-        return True
-    if rj >= 0 and _any_other_has_site(node.right, rj, name):
-        return True
+    stack = [(node, j)]
+    while stack:
+        n, jj = stack.pop()
+        if n.is_leaf:
+            if n.name != name:
+                return True
+            continue
+        g = n.graph
+        lj = g.child_l[jj]
+        rj = g.child_r[jj]
+        if rj >= 0:
+            stack.append((n.right, rj))
+        if lj >= 0:
+            stack.append((n.left, lj))
     return False
 
 
@@ -85,6 +96,11 @@ def read_alignment_scores(node: TreeNode, read_name: str,
     aligned = 0
     read_length = 0
     matched = 0
+    # NB the loop includes the stop column (j = sites_length()-1),
+    # exactly like the reference (reads_aligner.cpp:3356,3403: j <
+    # sites_length()); both stop sites resolve as present with state
+    # -1, inflating aligned/read_length by one but never matched —
+    # replicated verbatim for threshold parity
     for j in range(1, g.num_sites()):
         read_has, state_read = _has_site_and_state(node, j, read_name)
         if overlap_with_any:
@@ -111,6 +127,10 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                  settings: AlignSettings | None = None,
                  root_node: TreeNode | None = None) -> PileupResult:
     config = config or PileupConfig()
+    # the pileup ladder grows one tree level per accepted read; raise
+    # the recursion limit up front for the tree walkers
+    from ..utils import ensure_recursion_for_depth
+    ensure_recursion_for_depth(len(reads) + 10)
     if data_type is None:
         from ..io.fasta import guess_data_type
         data_type = guess_data_type(reads)
@@ -257,6 +277,8 @@ def translated_pileup_align(reads: list[FastaEntry],
     the first read's longest ORF (the reference relies on the input
     parser having translated the root read)."""
     from .orfs import find_orfs
+    from ..utils import ensure_recursion_for_depth
+    ensure_recursion_for_depth(len(reads) + 10)
     config = config or PileupConfig()
     if model_factory is None:
         model_factory = ModelFactory(alph.PROTEIN)
@@ -310,10 +332,17 @@ def translated_pileup_align(reads: list[FastaEntry],
                 ov, ident = read_alignment_scores(
                     temp, read.name, ref_root_name,
                     overlap_with_any=config.overlap_with_any)
-                # best-ORF rule of reads_aligner.cpp:319-320
+                # best-ORF rule of reads_aligner.cpp:318-320 — NB the
+                # reference's tie-break really compares the candidate's
+                # own overlap to its own identity (not to the
+                # incumbent's); replicated verbatim
                 if best is None or ov > best[2] or \
                         (ov == best[2] and ov > ident):
                     best = (temp, orf, ov, ident)
+            if best is None:
+                # every ORF alignment was skipped by the
+                # anchoring-threshold heuristic
+                continue
             node, orf, ov, ident = best
             if ov > config.min_query_overlap and \
                     ident > config.min_query_identity:
@@ -406,6 +435,11 @@ def reconstruct_contigs(root: TreeNode, config: PileupConfig,
             if min_num < config.consensus_minimum:
                 min_num = config.consensus_minimum
             from ..graph.sequence_graph import XSKIPPED, YSKIPPED
+            read_names = [l.name for l in node.leaves()
+                          if getattr(l.graph, "is_read_sequence",
+                                     False)] \
+                if not consensus_only else []
+            read_rows = {nm: [] for nm in read_names}
             seq = []
             for j in range(1, g.num_sites() - 1):
                 sA, sC = g.sumA[j], g.sumC[j]
@@ -421,12 +455,25 @@ def reconstruct_contigs(root: TreeNode, config: PileupConfig,
                             seq.append("n")
                     elif show_ref_insertions:
                         seq.append("-")
+                    else:
+                        continue      # column not emitted
                 elif not in_ref and sA + sC + sG + sT < min_num:
                     seq.append("-")
                 else:
                     seq.append(_iupac_majority(sA, sC, sG, sT))
+                for nm in read_names:
+                    has, st = _has_site_and_state(node, j, nm)
+                    read_rows[nm].append(
+                        _STATE_CHARS[st] if has and 0 <= st <
+                        len(_STATE_CHARS) else "-")
             out.append(FastaEntry(name="consensus_" + pname,
                                   sequence="".join(seq), comment=pname))
+            # without --consensus-only the reference appends each
+            # read's aligned row after its subtree's consensus
+            # (node.h:2066-2073, get_alignment_for_reads)
+            for nm in read_names:
+                out.append(FastaEntry(name=nm,
+                                      sequence="".join(read_rows[nm])))
             return
         if not node.is_leaf:
             walk(node.left, is_read)

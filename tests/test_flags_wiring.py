@@ -376,3 +376,32 @@ def test_aa_groups_symbols_reingest():
                          alph.PROTEIN)
     assert [int(g.states[i]) for i in range(1, g.num_sites() - 1)] == \
         [12, 11, 10]
+
+
+def test_grp_roundtrip_preserves_group_states():
+    """.grp checkpoint round-trip under --use-aa-groups keeps the
+    case-significant group symbols (the old reader uppercased 'b' to
+    'B' -> unknown -> wrong fallback state)."""
+    from pagan2_tpu.io.writers import write_graph_file, read_graph_file
+    from pagan2_tpu.graph import build_leaf_graph
+    alph.set_protein_groups(True)
+    try:
+        g = build_leaf_graph("MKbs1X", alph.PROTEIN)
+        text = write_graph_file(g)
+        g2 = read_graph_file(text, data_type=alph.PROTEIN, is_text=True)
+        assert [int(g.states[i]) for i in range(g.num_sites())] == \
+            [int(g2.states[i]) for i in range(g2.num_sites())]
+    finally:
+        alph.set_protein_groups(False)
+
+
+def test_xml_escapes_names():
+    from pagan2_tpu.io.writers import write_xml
+    from pagan2_tpu.tree.newick import parse_newick
+    import xml.dom.minidom as minidom
+    tree = parse_newick("(a:0.1,b:0.1);")
+    entries = [FastaEntry("a", "ACGT"), FastaEntry("b", "ACG-")]
+    entries[0].name = "a&<weird>"
+    tree.leaves().__iter__()  # no-op; names in tree stay plain
+    text = write_xml(tree, entries)
+    minidom.parseString(text)   # must be well-formed XML

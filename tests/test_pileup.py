@@ -116,3 +116,29 @@ def test_both_strands_batches_through_executor():
     assert res.discarded == []
     by = {e.name: e.sequence for e in res.alignment}
     assert by["r1"] == by["r0"]
+
+
+def test_build_contigs_includes_read_rows():
+    """--build-contigs: each contig's consensus row is followed by the
+    aligned read rows (reconstruct_contigs(contigs, false),
+    node.h:2066-2073); --output-consensus stays consensus-only."""
+    from pagan2_tpu.pipeline.pileup import (pileup_align, PileupConfig,
+                                            reconstruct_contigs)
+    reads = [FastaEntry("r1", "ACGTACGTGGACTTACGT"),
+             FastaEntry("r2", "ACGTACGTGGACTTACGT"),
+             FastaEntry("r3", "GGACTTACGTTTGCAGGC")]
+    cfg = PileupConfig(min_query_overlap=0.2, min_query_identity=0.2,
+                       use_consensus=True, consensus_minimum=1,
+                       consensus_minimum_proportion=0.1)
+    res = pileup_align(reads, "dna", cfg)
+    only = reconstruct_contigs(res.root, cfg, consensus_only=True)
+    both = reconstruct_contigs(res.root, cfg, consensus_only=False)
+    assert all(e.name.startswith("consensus_") for e in only)
+    read_rows = [e for e in both if not
+                 e.name.startswith("consensus_")]
+    assert read_rows, "contig mode must append the read rows"
+    cons = [e for e in both if e.name.startswith("consensus_")]
+    # read rows align column-for-column with their consensus
+    assert {len(e.sequence) for e in both} == {len(cons[0].sequence)}
+    for e in read_rows:
+        assert e.sequence.replace("-", "") != ""

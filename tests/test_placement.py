@@ -133,3 +133,19 @@ def test_placement_scoring_batches_through_executor():
     assert "q" in out.placed
     got = {e.name: e.sequence for e in out.result.alignment}
     assert got["q"].replace("-", "") == "ACGTACGTGGACTTACGT"
+
+
+def test_refread_accepts_dot_gaps():
+    """'.' is a gap character too: rows using '.' must ingest exactly
+    like '-' rows (fasta cleanup strips both; the simple-path builder
+    tests '-')."""
+    rows = _aligned_rows()
+    dashed = read_reference_alignment(
+        [FastaEntry(e.name, e.sequence) for e in rows], TREE,
+        data_type="dna")
+    dotted = read_reference_alignment(
+        [FastaEntry(e.name, e.sequence.replace("-", "."))
+         for e in rows], TREE, data_type="dna")
+    got_a = {e.name: e.sequence for e in dashed.alignment}
+    got_b = {e.name: e.sequence for e in dotted.alignment}
+    assert got_a == got_b
