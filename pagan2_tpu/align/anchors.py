@@ -425,10 +425,27 @@ def replace_largest_block_with_gap(upper, lower, empty_blocks,
 def graph_strings(g, with_gaps: bool):
     """Sequence::get_sequence_string (sequence.cpp): terminal graphs give
     their symbols; ancestors render skipped/non-real as '-' (gapped) or
-    omit them (ungapped)."""
+    omit them (ungapped). Codon graphs translate each triplet site to
+    ONE amino-acid char so hit/bound coordinates stay per-site — the
+    reference anchors codon data on its protein translation
+    (viterbi_alignment.cpp:54-60)."""
     from ..graph.sequence_graph import XSKIPPED, YSKIPPED, NON_REAL
     from ..models import alphabets as alph
     n = g.num_sites()
+    if g.data_type == alph.CODON:
+        from ..io.translate import codon_to_amino
+        out = []
+        for j in range(1, n - 1):
+            skip = (g.path_state[j] in (XSKIPPED, YSKIPPED) or
+                    g.site_type[j] == NON_REAL)
+            if skip:
+                if with_gaps:
+                    out.append("-")
+                continue
+            sym = g.symbols[j]
+            aa = codon_to_amino(sym) if len(sym) == 3 else "X"
+            out.append(aa if aa not in ("", "-") else "X")
+        return "".join(out)
     if g.terminal_sequence and not any(
             g.path_state[j] in (XSKIPPED, YSKIPPED) or
             g.site_type[j] == NON_REAL for j in range(1, n - 1)):

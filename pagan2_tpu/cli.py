@@ -866,9 +866,17 @@ def main(argv=None) -> int:
             print("--ref-seqfile requires --ref-treefile", file=sys.stderr)
             return 1
         tree_text = open(args.ref_treefile).read()
+        from .tree.newick import parse_newick as _parse_newick
+        ref_tree = _parse_newick(tree_text)
+        ref_tree.apply_branch_length_rules(
+            min_len=args.min_branch_length,
+            truncate=(None if args.real_branches
+                      else args.truncate_branches),
+            scale=args.scale_branches, fixed=args.fixed_branches,
+            real_branches=args.real_branches)
         from .pipeline.refread import read_reference_alignment
         res = read_reference_alignment(
-            entries, tree_text, data_type=data_type, settings=settings,
+            entries, ref_tree, data_type=data_type, settings=settings,
             model_factory=mf, quick=args.quick,
             perfect_reference=args.perfect_reference)
         if args.queryfile and args.align_reads_at_root:

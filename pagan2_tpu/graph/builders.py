@@ -206,7 +206,9 @@ def _build_fastq(g: SequenceGraph, sequence: str, quality: str, a, *,
 
 
 def _build_codon(g: SequenceGraph, sequence: str, a):
-    for i in range(0, len(sequence) - len(sequence) % 3, 3):
+    # a trailing partial codon becomes an NNN site, like the
+    # reference's substr(i,3) + failed lookup (sequence.cpp:324-333)
+    for i in range(0, len(sequence), 3):
         codon = sequence[i:i + 3].upper()
         state = a.state_of(codon)
         if state < 0:

@@ -366,7 +366,6 @@ def ancestral_symbols(name: str) -> list[str]:
             # group states render as their own symbols
             # (full_char_alphabet, model_factory.cpp:673)
             return list(PROTEIN_GROUP_CHARS)
-        a = protein_alphabet()
         from .model_data import wag_matrices
         pi, _ = wag_matrices()
         out = list(PROTEIN_CHARS) + ["X"]

@@ -116,6 +116,14 @@ class EvolModel:
         return int(self.parsimony[i, j])
 
     def mostcommon_state(self, i: int, j: int) -> int:
+        # the protein/codon mostcommon table is canonical-only
+        # (model_factory.cpp builds it (n_canon, n_canon); the reference
+        # reads out of bounds for ambiguity children — C++ UB). For
+        # ambiguity states fall back to the parsimony table instead of
+        # crashing (documented deviation).
+        n = self.mostcommon.shape[0]
+        if i >= n or j >= n:
+            return self.parsimony_state(i, j)
         return int(self.mostcommon[i, j])
 
     def ancestral_state(self, i: int, j: int) -> int:
@@ -146,6 +154,10 @@ class ModelFactory:
         # and codon pair logic takes a straight max
         groups_active = (data_type == alph.PROTEIN
                          and alph.protein_groups_active())
+        # out-of-range factors reset to 1.0 exactly like the reference
+        # (model_factory.cpp:1976-1977, :2119-2120)
+        if not (0.0 <= ambiguity_factor <= 1.0):
+            ambiguity_factor = 1.0
         self.ambiguity_factor = (ambiguity_factor
                                  if data_type == alph.DNA or groups_active
                                  else 1.0)

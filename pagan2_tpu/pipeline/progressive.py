@@ -65,7 +65,10 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                       mesh=None) -> ProgressiveResult:
     if isinstance(tree, str):
         tree = parse_newick(tree)
-    tree.apply_branch_length_rules()
+    if not getattr(tree, "branch_rules_applied", False):
+        # default rules only when the CLI has not already applied the
+        # user's --real/--fixed/--scale/--truncate-branches choices
+        tree.apply_branch_length_rules()
     tree.name_internal()
 
     if data_type is None:

@@ -34,7 +34,10 @@ def read_reference_alignment(entries: list[FastaEntry],
                              ) -> ProgressiveResult:
     if isinstance(tree, str):
         tree = parse_newick(tree)
-    tree.apply_branch_length_rules()
+    if not getattr(tree, "branch_rules_applied", False):
+        # default rules only when the CLI has not already applied the
+        # user's --real/--fixed/--scale/--truncate-branches choices
+        tree.apply_branch_length_rules()
     tree.name_internal()
 
     if data_type is None:

@@ -79,9 +79,8 @@ def neighbor_joining(d: np.ndarray, names: list[str]) -> TreeNode:
         dij = D(i, j)
         li = 0.5 * dij + (r[i] - r[j]) / (2 * (m - 2))
         lj = dij - li
-        ni = nodes[i] if i < len(nodes) else None
-        node_i = _node_by_id(nodes, i)
-        node_j = _node_by_id(nodes, j)
+        node_i = nodes[i]
+        node_j = nodes[j]
         node_i.dist = max(li, 1e-6)
         node_j.dist = max(lj, 1e-6)
         parent = TreeNode(children=[node_i, node_j])
@@ -95,16 +94,14 @@ def neighbor_joining(d: np.ndarray, names: list[str]) -> TreeNode:
         active = [a for a in active if a not in (i, j)] + [u]
 
     i, j = active
-    node_i = _node_by_id(nodes, i)
-    node_j = _node_by_id(nodes, j)
+    node_i = nodes[i]
+    node_j = nodes[j]
     dij = D(i, j)
     node_i.dist = max(dij / 2, 1e-6)
     node_j.dist = max(dij / 2, 1e-6)
     return TreeNode(children=[node_i, node_j])
 
 
-def _node_by_id(nodes, i):
-    return nodes[i]
 
 
 def _unroot(tree: TreeNode) -> TreeNode:

@@ -63,7 +63,10 @@ class TreeNode:
                                   real_branches: bool = False):
         """Node::set_distance_to_parent corrections (node.h:122-159):
         non-positive -> min_len; scale; truncate (default 0.2, on unless
-        --real-branches); --fixed-branches overrides."""
+        --real-branches); --fixed-branches overrides. Marks the tree so
+        the pipeline defaults do not re-apply over CLI-chosen rules
+        (the reference corrects once, in set_distance_to_parent)."""
+        self.branch_rules_applied = True
         for n in self.nodes_postorder():
             if n is self:
                 continue
@@ -239,14 +242,22 @@ def midpoint_root(tree: TreeNode) -> TreeNode:
 
     total, pa, lca, pb = best
     half = total / 2.0
-    # walk the path from leaf a towards b accumulating distance
-    chain = pa + pb  # edges in order from leaf a up to lca then down to b
+    # walk the path from leaf a towards b accumulating distance. Edges
+    # on the a-side (pa) are entered from their BOTTOM (node) end;
+    # edges past the LCA (pb) from their TOP (parent) end, so the
+    # node-side/parent-side split lengths swap there.
+    chain = [(node, d, False) for (node, d) in pa] + \
+            [(node, d, True) for (node, d) in pb]
     acc = 0.0
-    for (node, d) in chain:
+    for (node, d, downward) in chain:
         if acc + d >= half:
             # root on this edge: split it
-            upper = acc + d - half
-            lower = half - acc
+            if downward:
+                lower = acc + d - half      # distance from `node`
+                upper = half - acc
+            else:
+                lower = half - acc
+                upper = acc + d - half
             return _reroot_on_edge(tree, parent, node, lower, upper)
         acc += d
     return tree

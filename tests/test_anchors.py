@@ -249,3 +249,24 @@ def test_hmmer_anchor_alignment_matches_full():
     sts_f, sc_f = run(use_anchors=False)
     assert sts_h == sts_f
     assert sc_h == pytest.approx(sc_f, rel=1e-9)
+
+
+def test_codon_tunnel_bounds_are_per_site():
+    """Codon anchoring must produce SITE-coordinate bounds (the
+    reference anchors the protein translation,
+    viterbi_alignment.cpp:54-60) — not 3x-long nucleotide bounds."""
+    import numpy as np
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.align.anchors import define_tunnel_for_graphs
+    rng = np.random.default_rng(0)
+    codons = [a + b + c for a in "ACGT" for b in "ACGT" for c in "ACGT"
+              if a + b + c not in ("TAA", "TAG", "TGA")]
+    seq = "".join(rng.choice(codons, 120))
+    g1 = build_leaf_graph(seq, "codon")
+    g2 = build_leaf_graph(seq, "codon")
+    u, low, _blocks, cov = define_tunnel_for_graphs(g1, g2)
+    L = g1.num_sites() - 1
+    R = g2.num_sites() - 1
+    assert len(u) <= L + 2
+    assert max(low) <= R + 1
+    assert 0 < cov < 1

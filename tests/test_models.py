@@ -204,3 +204,35 @@ class TestEvolModel:
         assert np.isfinite(m.log_score[:61, :61]).all()
         # NNN column = row max
         assert m.score[0, 61] == pytest.approx(m.score[0, :61].max(), abs=0)
+
+
+def test_mostcommon_ambiguity_falls_back_to_parsimony():
+    """--mostcommon with protein data and an X child must not crash
+    (the reference's (n_canon, n_canon) table reads out of bounds in
+    C++; we fall back to the parsimony table — documented deviation)."""
+    from pagan2_tpu.models import ModelFactory
+    m = ModelFactory("protein", mostcommon=True).alignment_model(0.1)
+    st = m.ancestral_state(20, 3)        # X vs D
+    assert st == m.parsimony_state(20, 3)
+    assert m.ancestral_state(1, 2) == m.mostcommon_state(1, 2)
+
+
+def test_ambiguity_factor_clamped_like_reference():
+    """Out-of-range --ambiguity-factor resets to 1.0
+    (model_factory.cpp:1976-1977)."""
+    from pagan2_tpu.models import ModelFactory
+    ok = ModelFactory("dna", ambiguity_factor=0.8)
+    assert ok.ambiguity_factor == 0.8
+    for bad in (1.5, -0.2):
+        mf = ModelFactory("dna", ambiguity_factor=bad)
+        assert mf.ambiguity_factor == 1.0
+
+
+def test_codon_trailing_partial_becomes_nnn():
+    """A non-multiple-of-3 codon sequence gains an NNN site
+    (sequence.cpp:324-333), not a silent truncation."""
+    from pagan2_tpu.graph import build_leaf_graph
+    g3 = build_leaf_graph("ATGAAA", "codon")
+    g4 = build_leaf_graph("ATGAAAC", "codon")
+    assert g4.num_sites() == g3.num_sites() + 1
+    assert g4.symbols[3] == "NNN"

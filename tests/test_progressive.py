@@ -153,3 +153,36 @@ class TestFastaIO:
         back = read_fasta(p)
         assert [(e.name, e.sequence) for e in back] == \
             [("s1", "ACGT"), ("s2", "GGTT")]
+
+
+def test_branch_rules_not_reapplied_over_cli_choices():
+    """align_progressive must not clobber branch lengths the caller
+    already corrected with --real-branches etc. (the reference corrects
+    once, in Node::set_distance_to_parent)."""
+    t = parse_newick("(a:0.9,b:0.8);")
+    t.apply_branch_length_rules(truncate=None, real_branches=True)
+    res = align_progressive(make_entries({"a": "ACGTACGT",
+                                          "b": "ACGTACGT"}), t,
+                            data_type="dna")
+    ds = sorted(n.dist for n in res.tree.nodes_postorder()
+                if n is not res.tree)
+    assert ds == [0.8, 0.9], ds
+
+
+def test_midpoint_root_balances_far_side():
+    """Edges past the LCA are entered from their parent end; the split
+    lengths must not mirror (a:1,b:10 rooted 5.5/5.5, not 4.5/6.5)."""
+    from pagan2_tpu.tree.newick import TreeNode
+    t = TreeNode(children=[TreeNode(name="a", dist=1.0),
+                           TreeNode(name="b", dist=10.0),
+                           TreeNode(name="c", dist=1.0)])
+    r = midpoint_root(t)
+    depth = {}
+
+    def walk(n, d):
+        if n.is_leaf:
+            depth[n.name] = d
+        for c in n.children:
+            walk(c, d + c.dist)
+    walk(r, 0.0)
+    assert abs(depth["a"] - depth["b"]) < 1e-9, depth
