@@ -106,6 +106,15 @@ def merge_sampled_graph(anc: SequenceGraph, sampled: SequenceGraph):
                 child_l=sampled.child_l[i], child_r=sampled.child_r[i])
             anc.site_bcount_slu[idx] = sampled.site_bcount_slu[i]
             anc.site_bdist_slu[idx] = sampled.site_bdist_slu[i]
+            # copy_site_details copies the full site payload
+            # (sequence.h): posterior support, ambiguity flag, pileup
+            # counts must survive the merge
+            anc.posterior_support[idx] = sampled.posterior_support[i]
+            anc.ambiguous[idx] = sampled.ambiguous[i]
+            anc.sumA[idx] = sampled.sumA[i]
+            anc.sumC[idx] = sampled.sumC[i]
+            anc.sumG[idx] = sampled.sumG[i]
+            anc.sumT[idx] = sampled.sumT[i]
             anc_keys.append(k)
             key_to_site[k] = idx
             map_s2a.append(idx)
@@ -121,6 +130,11 @@ def merge_sampled_graph(anc: SequenceGraph, sampled: SequenceGraph):
         anc.edges.bdist_slu[ne] = sampled.edges.bdist_slu[eid]
         anc.edges.bcount_skip[ne] = sampled.edges.bcount_skip[eid]
 
+    # NB edges are only copied for ADDED sites — the reference does the
+    # same (merge_sampled_sequence iterates sample_index_for_added,
+    # viterbi_alignment.cpp:624-721), so a sampled path whose sites all
+    # exist already contributes no new edges there either; replicated
+    # verbatim
     for i in added:
         for eid in sampled.bwd[i]:
             copy_edge(eid)

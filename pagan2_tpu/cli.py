@@ -10,8 +10,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -389,6 +387,9 @@ def write_codon_outputs(args, tree, alignment, dna_map):
     cargs.outfile = args.outfile + ".codon"
     cargs.output_graph = False
     cargs.output_nhx_tree = False
+    # the posterior-plot sink was flushed by the first write_outputs;
+    # rewriting here would truncate the user's plots to an empty file
+    cargs.mpost_posterior_plot_file = None
     write_outputs(cargs, tree, codon, "dna")
 
 
@@ -645,8 +646,23 @@ def config_file_args(path, parser) -> list[str]:
 
 def write_config_log(path, argv, cfg_args):
     """Replayable 'option = value' dump of the effective arguments
-    (settings.cpp:446-510)."""
+    (settings.cpp:446-510). Short options are written under their LONG
+    name (the config reader looks options up by long name), and
+    whether the next token is a value comes from the parser's own
+    option table, not a '-' prefix guess (negative numbers are
+    values)."""
     import time as _time
+    parser = build_parser()
+    by_opt = {}
+    for action in parser._actions:
+        longs = [o for o in action.option_strings
+                 if o.startswith("--")]
+        canon = (max(longs, key=len) if longs
+                 else (action.option_strings[0]
+                       if action.option_strings else None))
+        for o in action.option_strings:
+            by_opt[o] = (canon.lstrip("-") if canon else None,
+                         action.nargs != 0)
     lines = ["# pagan2-tpu",
              "#", "# Analysis started: " + _time.asctime(), ""]
 
@@ -657,14 +673,20 @@ def write_config_log(path, argv, cfg_args):
             if not tok.startswith("-"):
                 i += 1
                 continue
-            key = tok.lstrip("-")
-            if "=" in key:
-                key, val = key.split("=", 1)
-            elif i + 1 < len(tokens) and not tokens[i + 1].startswith("-"):
-                val = tokens[i + 1]
-                i += 1
-            else:
-                val = "1"
+            opt, val = tok, None
+            if "=" in tok:
+                opt, val = tok.split("=", 1)
+            key, takes_value = by_opt.get(opt, (tok.lstrip("-"), None))
+            if val is None:
+                if takes_value is None:
+                    # unknown option: fall back to the prefix guess
+                    takes_value = (i + 1 < len(tokens) and
+                                   not tokens[i + 1].startswith("-"))
+                if takes_value and i + 1 < len(tokens):
+                    val = tokens[i + 1]
+                    i += 1
+                else:
+                    val = "1"
             if key not in ("config-file", "config-log-file"):
                 lines.append("%s = %s" % (key, val))
             i += 1
@@ -690,19 +712,31 @@ def main(argv=None) -> int:
             print("Config file '%s' not found. Exiting." % cfg_path,
                   file=sys.stderr)
             return 1
-        # config args go first so explicit command-line arguments win
+        # config args go first so explicit command-line arguments win.
+        # Strip only the config-file tokens themselves — an unrelated
+        # option VALUE that happens to equal the path (e.g.
+        # `-o conf.ini`) must survive.
         cfg_args = config_file_args(cfg_path, parser)
         clean = []
-        skip = False
-        for a in argv:
-            if skip:
-                skip = False
-            elif a == "--config-file":
-                skip = True
-            elif a.startswith("--config-file=") or a == cfg_path:
-                pass
-            else:
-                clean.append(a)
+        removed = False
+        i = 0
+        while i < len(argv):
+            a = argv[i]
+            if a == "--config-file":
+                i += 2
+                removed = True
+                continue
+            if a.startswith("--config-file="):
+                i += 1
+                removed = True
+                continue
+            if a == cfg_path and not removed and \
+                    (i == 0 or not argv[i - 1].startswith("-")):
+                i += 1
+                removed = True
+                continue
+            clean.append(a)
+            i += 1
         args = parser.parse_args(cfg_args + clean)
     if args.config_log_file:
         write_config_log(args.config_log_file, argv, cfg_args)

@@ -95,7 +95,8 @@ def clean_sequence(seq: str, data_type: str) -> str:
     """Map unsupported characters to N/X and uppercase
     (Fasta_reader alphabet cleanup)."""
     seq = seq.replace("-", "").replace(".", "")
-    if data_type == "dna":
+    if data_type in ("dna", "codon"):
+        # codon input is DNA text: same cleanup (U->T, IUPAC kept)
         seq = seq.upper()
         # '0' is the pair-end read joint marker: the graph builders skip
         # it (sequence.cpp:173,390), so it must survive cleanup

@@ -201,5 +201,10 @@ def write_anchors_for_R(hits, upper, lower, path: str):
                     % ",".join(str(int(v)) for v in upper))
             f.write("tunnel_lower <- c(%s)\n"
                     % ",".join(str(int(v)) for v in lower))
-        f.write('plot(anc_x1, anc_y1, type="n")\n'
-                "segments(anc_x1, anc_y1, anc_x2, anc_y2)\n")
+        if hits:
+            f.write('plot(anc_x1, anc_y1, type="n")\n'
+                    "segments(anc_x1, anc_y1, anc_x2, anc_y2)\n")
+        else:
+            # plot(c(), ...) errors in R; give the no-anchors dump a
+            # runnable frame
+            f.write('plot(0, 0, type="n")\n')

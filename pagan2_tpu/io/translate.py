@@ -63,14 +63,23 @@ def rna_to_dna(seq: str) -> str:
 
 def dna_to_protein(seq: str, mt: bool = False) -> tuple[str, str]:
     """Translate a DNA sequence. Returns (protein, dna) where dna has
-    unknown codons replaced by NNN (fasta_reader.cpp:1425-1447).
-    A trailing partial codon is dropped."""
+    unknown codons replaced by NNN (fasta_reader.cpp:1394-1412).
+    A full gap codon '---' translates to '-' like the reference's table
+    entry (fasta_reader.cpp:1361,1369) so gapped reference-alignment
+    rows keep their gap structure. A trailing partial codon is
+    dropped."""
     table = _code_table(mt)
     dna = rna_to_dna(seq)
     prot = []
     fixed = []
     for j in range(0, len(dna) - len(dna) % 3, 3):
         codon = dna[j:j + 3]
+        if codon == "---":
+            # gap codon: translate to '-' but keep the stored DNA
+            # ungapped (protein_to_dna consumes one codon per residue
+            # and emits '---' for every protein gap itself)
+            prot.append("-")
+            continue
         aa = table.get(codon)
         if aa is None or aa == "*":
             # stop codons translate to X like unknowns: the reference's

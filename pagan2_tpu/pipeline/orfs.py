@@ -29,6 +29,10 @@ def find_orfs(dna: str, name: str = "", min_orf_length: int = 50,
     if min_orf_coverage is not None:
         min_orf_length = int(min_orf_coverage * len(dna) / 3)
     out: list[Orf] = []
+    # NB the (len-1)//3 gate rejects a read holding an ORF of EXACTLY
+    # min_orf_length (and --min-orf-coverage 1.0 can never pass) — the
+    # reference has the identical quirk (reads_aligner.cpp:3138-3144);
+    # replicated verbatim
     length = len(dna) - 1
     if length // 3 < min_orf_length:
         return out
