@@ -151,6 +151,7 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
         # break penalties, which the sheared/fan-in kernels already do
         # through their positional gext vectors.
         use_device = (engine in ("jax", "auto")
+                      and left.num_sites() + right.num_sites() > 4
                       and (linear_pair or
                            fanin_fullprob_eligible(left, right)))
         from ..io import plots
@@ -222,7 +223,11 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             # are positional vectors in the sheared prep, so chain pairs
             # stay on the device even with --pair-end (fan-in pair-end
             # falls back to the oracle below)
-            ok = not settings.compute_full_score
+            # the device kernels fill diagonals d >= 1; a pair of two
+            # EMPTY sequences (L = R = 1, corner d = 0) never reaches
+            # its corner there — the host oracle handles it
+            ok = (not settings.compute_full_score and
+                  left.num_sites() + right.num_sites() > 4)
             from .viterbi_sheared import (is_linear_chain,
                                           sheared_align_path, _bucket)
             if ok and is_linear_chain(left) and is_linear_chain(right):

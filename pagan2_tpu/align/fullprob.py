@@ -198,10 +198,15 @@ def linear_plane_fills(msp_b, wr_b, wl_b, consts_b, Ldp_b, Rdp_b,
     from . import fullprob_pallas as fpp
     if fpp.INTERPRET or jax.default_backend() != "cpu":
         try:
+            # fold the match-score stream once for both kernels (it is
+            # the largest intermediate; folding twice doubled the HBM
+            # traffic of the fp hot path)
+            ms2 = fpp._fold_ms2(msp_b, wr_b, wl_b)
             fwd = fpp.fullprob_fwd_pallas(msp_b, wr_b, wl_b, consts_b,
-                                          Ldp_b, Rdp_b)
+                                          Ldp_b, Rdp_b, ms2=ms2)
             bwd = fpp.fullprob_bwd_pallas(msp_b, wr_b, wl_b, consts_b,
-                                          Ldp_b, Rdp_b, seeds_b)
+                                          Ldp_b, Rdp_b, seeds_b,
+                                          ms2=ms2)
             return fwd, bwd
         except Exception as e:       # pragma: no cover - defensive
             from ..utils import log_out

@@ -226,14 +226,17 @@ def _fold_ms2(msp_sh, wr_rext, wl, TD=_TD):
 
 
 @functools.partial(jax.jit, static_argnames=("TD",))
-def fullprob_fwd_pallas(msp_sh, wr_rext, wl, consts, Ldp, Rdp, TD=_TD):
+def fullprob_fwd_pallas(msp_sh, wr_rext, wl, consts, Ldp, Rdp, TD=_TD,
+                        ms2=None):
     """Batched forward planes. msp_sh (B, D, Lp) prob-space match
     scores (diagonal-major, like the scan core's input per job);
     returns (fM, fX, fY) (B, D, Lp) and fcum (B, D) matching
-    fullprob._fwd_core's vmapped output."""
+    fullprob._fwd_core's vmapped output. Pass a pre-folded ms2 (from
+    _fold_ms2) to share the fold with the bwd kernel."""
     B, D, Lp = msp_sh.shape
     f = msp_sh.dtype
-    ms2 = _fold_ms2(msp_sh, wr_rext, wl, TD=TD)
+    if ms2 is None:
+        ms2 = _fold_ms2(msp_sh, wr_rext, wl, TD=TD)
     fscal = consts[:, :5].astype(f)
     iscal = jnp.stack([Ldp.astype(jnp.int32), Rdp.astype(jnp.int32),
                        jnp.full((B,), D, jnp.int32)], axis=1)
@@ -255,11 +258,12 @@ def fullprob_fwd_pallas(msp_sh, wr_rext, wl, consts, Ldp, Rdp, TD=_TD):
 
 @functools.partial(jax.jit, static_argnames=("TD",))
 def fullprob_bwd_pallas(msp_sh, wr_rext, wl, consts, Ldp, Rdp, seeds,
-                        TD=_TD):
+                        TD=_TD, ms2=None):
     """Batched backward planes; mirrors fullprob._bwd_core vmapped."""
     B, D, Lp = msp_sh.shape
     f = msp_sh.dtype
-    ms2 = _fold_ms2(msp_sh, wr_rext, wl, TD=TD)
+    if ms2 is None:
+        ms2 = _fold_ms2(msp_sh, wr_rext, wl, TD=TD)
     # the bwd sweep has D steps (diagonals D-1 .. 0), one more than the
     # fwd's D-1: pad its own grid length
     Dpk = max(-(-D // TD) * TD, ms2.shape[0])

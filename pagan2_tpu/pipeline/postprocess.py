@@ -195,6 +195,11 @@ def count_events(tree: TreeNode, alignment: list[FastaEntry],
                     s += " (%s)" % pa if pa == ca else \
                          " (%s -> %s)" % (pa, ca)
                 subs.append(s + "\n")
+        # close runs that extend to the last alignment column
+        if pg:
+            ins.append("..%d insertion\n" % site)
+        if cg:
+            dels.append("..%d deletion\n" % site)
         lines.append("".join(subs) + "".join(ins) + "".join(dels))
 
     text = "\n".join(lines) + "\n"
@@ -233,6 +238,13 @@ def trim_alignment(alignment: list[FastaEntry], readnames: set[str],
             if ch != "-":
                 first = min(first, i)
                 last = max(last, i)
+    if first > last:
+        # no read row covers any column (e.g. a run without placement
+        # reads): nothing to trim, keep the alignment intact
+        log_out("No query rows to trim around; alignment kept "
+                "untrimmed.\n", 1)
+        return [FastaEntry(name=e.name, comment=e.comment,
+                           sequence=e.sequence) for e in alignment]
     first = max(first - keep_sites, 0)
     last = min(last + keep_sites, ncol)
     return [FastaEntry(name=e.name, comment=e.comment,
@@ -269,25 +281,7 @@ def maxmin_distant_subset(tree: TreeNode, candidates: set[str],
     leaves = [l for l in tree.leaves() if l.name in candidates]
     if len(leaves) <= n_keep:
         return {l.name for l in leaves}
-    # pairwise tree distances via root paths
-    depth: dict[str, dict[int, float]] = {}
-
-    def paths(n: TreeNode, acc, d):
-        acc = acc + [(id(n), d)]
-        if n.is_leaf:
-            depth[n.name] = dict(acc)
-        for c in n.children:
-            paths(c, acc, d + c.dist)
-
-    paths(tree, [], 0.0)
-
-    # distance via lowest-common-ancestor depth
-    def dist2(a: str, b: str) -> float:
-        pa, pb = depth[a], depth[b]
-        da = max(pa.values())
-        db = max(pb.values())
-        lca = max((d for k, d in pa.items() if k in pb), default=0.0)
-        return da + db - 2 * lca
+    dist2, depth = _leaf_distances(tree, with_depth=True)
 
     names = [l.name for l in leaves]
     # start from the deepest leaf
@@ -346,8 +340,9 @@ def threshold_distant_subset(tree: TreeNode, candidates: set[str],
     return {nm for nm, a in zip(names, alive) if a}
 
 
-def _leaf_distances(tree: TreeNode):
-    """Pairwise leaf tree-distance function via root paths."""
+def _leaf_distances(tree: TreeNode, with_depth: bool = False):
+    """Pairwise leaf tree-distance function via root paths (LCA depth);
+    with_depth also returns the per-leaf root-path depth map."""
     depth: dict[str, dict[int, float]] = {}
 
     def paths(n: TreeNode, acc, d):
@@ -366,7 +361,7 @@ def _leaf_distances(tree: TreeNode):
         lca = max((d for k, d in pa.items() if k in pb), default=0.0)
         return da + db - 2 * lca
 
-    return dist2
+    return (dist2, depth) if with_depth else dist2
 
 
 def prune_extended_alignment(tree: TreeNode, alignment: list[FastaEntry],
