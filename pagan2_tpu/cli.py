@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output inferred evolutionary events")
     g.add_argument("--output-graph", action="store_true",
                    help="write root graph (.grp)")
+    g.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                   help="persist each finished subtree graph to DIR "
+                        "and resume from it on restart (framework "
+                        "extension; use one directory per run)")
     g.add_argument("--output-consensus", action="store_true",
                    help="write consensus rows of read subtrees to "
                         "<outfile>_consensus.fas")
@@ -1048,7 +1052,8 @@ def main(argv=None) -> int:
         entries, tree, data_type=data_type, settings=settings,
         model_factory=mf, engine=args.engine,
         include_internal_nodes=args.output_ancestors,
-        mode454=args.mode454, homopolymer=args.homopolymer, mesh=mesh)
+        mode454=args.mode454, homopolymer=args.homopolymer, mesh=mesh,
+        checkpoint_dir=args.checkpoint_dir)
     _tick("alignment")
 
     full = res.alignment

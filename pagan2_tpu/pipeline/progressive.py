@@ -62,7 +62,9 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                       include_internal_nodes: bool = False,
                       mode454: bool = False,
                       homopolymer: bool = False,
-                      mesh=None) -> ProgressiveResult:
+                      mesh=None,
+                      checkpoint_dir: str | None = None
+                      ) -> ProgressiveResult:
     if isinstance(tree, str):
         tree = parse_newick(tree)
     if not getattr(tree, "branch_rules_applied", False):
@@ -90,6 +92,33 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
         leaf.graph = build_leaf_graph(seq, data_type, mode454=mode454,
                                       homopolymer=homopolymer)
 
+    # mid-run checkpointing (framework extension; the reference has
+    # none, SURVEY §5): finished subtree graphs persist as npz and a
+    # restarted run skips them
+    ckpt = None
+    if checkpoint_dir:
+        import os
+        from ..graph.serialize import graph_to_npz, graph_from_npz
+        from ..utils import log_out
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        def _ckpt_path(node):
+            safe = node.name.replace("#", "n").replace("/", "_")
+            return os.path.join(checkpoint_dir, safe + ".npz")
+
+        def ckpt(node, write_graph=None):
+            if write_graph is not None:
+                graph_to_npz(write_graph, _ckpt_path(node))
+                return None
+            p = _ckpt_path(node)
+            if os.path.exists(p):
+                try:
+                    return graph_from_npz(p)
+                except Exception as e:    # corrupt checkpoint: redo
+                    log_out("checkpoint %s unreadable (%s); "
+                            "recomputing\n" % (p, e), 1)
+            return None
+
     # generation-wise execution: each generation's jobs are independent,
     # so they run as one batched kernel launch per shape bucket, sharded
     # over the mesh's `jobs` axis (the reference's OpenMP wavefront,
@@ -102,6 +131,11 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
     for gen in generations(tree):
         jobs = []
         for node in gen:
+            if ckpt is not None:
+                g = ckpt(node)
+                if g is not None:
+                    node.graph = g
+                    continue
             dist = node.left.dist + node.right.dist
             model = model_factory.alignment_model(dist)
             jobs.append(PairJob(node.left.graph, node.right.graph, model,
@@ -109,7 +143,7 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                                 left_branch_length=node.left.dist,
                                 right_branch_length=node.right.dist,
                                 key=node))
-        done += len(jobs)
+        done += len(gen)
         # "aligning node X (k/n)" progress line (node.cpp:60)
         log_progress("aligning %d node%s (%d/%d)"
                      % (len(jobs), "s" if len(jobs) != 1 else "",
@@ -117,6 +151,8 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
         for job, (anc, _end) in zip(
                 jobs, execute_pair_jobs(jobs, engine=engine, mesh=mesh)):
             job.key.graph = anc
+            if ckpt is not None:
+                ckpt(job.key, write_graph=anc)
     finish_progress()
 
     alignment = extract_alignment(tree, include_internal_nodes,

@@ -186,3 +186,65 @@ def test_midpoint_root_balances_far_side():
             walk(c, d + c.dist)
     walk(r, 0.0)
     assert abs(depth["a"] - depth["b"]) < 1e-9, depth
+
+
+def test_checkpoint_resume(tmp_path):
+    """Mid-run checkpointing (framework extension, no reference
+    counterpart): a restarted run loads finished subtree graphs from
+    the checkpoint dir (zero kernel work) and reproduces the alignment;
+    a partially-populated dir resumes the remaining generations."""
+    from pagan2_tpu.parallel import executor
+    import os
+    seqs = {f"s{i}": s for i, s in enumerate(
+        ["ACGTACGTGGACTTAC", "ACGTACGGACTTAGGT",
+         "ACGTATGTGGACTTAC", "ACCTACGTGGATTTAC"])}
+    tree = "((s0:0.1,s1:0.1):0.05,(s2:0.1,s3:0.1):0.05);"
+    ck = str(tmp_path / "ck")
+
+    res1 = align_progressive(make_entries(seqs), tree,
+                             data_type="dna", checkpoint_dir=ck)
+    rows1 = {e.name: e.sequence for e in res1.alignment}
+    files = sorted(os.listdir(ck))
+    assert len(files) == 3          # three internal nodes
+
+    executor.reset_stats()
+    res2 = align_progressive(make_entries(seqs), tree,
+                             data_type="dna", checkpoint_dir=ck)
+    assert executor.EXEC_STATS["batched_jobs"] == 0
+    assert executor.EXEC_STATS["single_jobs"] == 0
+    assert {e.name: e.sequence for e in res2.alignment} == rows1
+
+    # partial resume: drop the root checkpoint, only it recomputes
+    os.remove(os.path.join(ck, files[-1]))
+    executor.reset_stats()
+    res3 = align_progressive(make_entries(seqs), tree,
+                             data_type="dna", checkpoint_dir=ck)
+    total = (executor.EXEC_STATS["batched_jobs"] +
+             executor.EXEC_STATS["single_jobs"])
+    assert total == 1, executor.EXEC_STATS
+    assert {e.name: e.sequence for e in res3.alignment} == rows1
+
+
+def test_graph_npz_roundtrip():
+    """Full SequenceGraph serialization preserves everything the
+    alignment extraction and ancestral machinery read."""
+    from pagan2_tpu.graph.serialize import graph_to_npz, graph_from_npz
+    from pagan2_tpu.models import ModelFactory
+    from pagan2_tpu.align import align_pair, AlignSettings
+    from pagan2_tpu.graph import build_leaf_graph
+    m = ModelFactory("dna").alignment_model(0.3)
+    g1 = build_leaf_graph("ACGTACGTGGAC", "dna")
+    g2 = build_leaf_graph("ACGTACGGAC", "dna")
+    anc, _ = align_pair(g1, g2, m, AlignSettings())
+    import io as _io
+    buf = _io.BytesIO()
+    graph_to_npz(anc, buf)
+    buf.seek(0)
+    back = graph_from_npz(buf)
+    assert back.num_sites() == anc.num_sites()
+    for f in ("states", "site_type", "path_state", "child_l",
+              "child_r", "symbols", "bwd", "fwd"):
+        assert getattr(back, f) == getattr(anc, f), f
+    assert list(back.edges.start) == list(anc.edges.start)
+    assert [float(w) for w in back.edges.weight] == \
+        [float(w) for w in anc.edges.weight]
