@@ -401,8 +401,24 @@ def execute_pair_jobs(jobs: list[PairJob], engine: str = "auto",
                         * n_shards or n_shards)
             for c0 in range(0, len(idxs), chunk):
                 part = idxs[c0:c0 + chunk]
-                launcher(jobs, part, results, Lp, Rp, mesh, n_shards,
-                         engine, dtype)
+                try:
+                    launcher(jobs, part, results, Lp, Rp, mesh,
+                             n_shards, engine, dtype)
+                except Exception as e:
+                    # launch-level failure recovery: a failed batched
+                    # device launch (OOM, backend error) degrades to
+                    # per-job dispatch instead of killing the run.
+                    # PAGAN2_STRICT=1 re-raises (set in tests so real
+                    # bugs cannot hide behind the fallback).
+                    import os as _os
+                    if _os.environ.get("PAGAN2_STRICT"):
+                        raise
+                    log_out("batched launch failed (%s: %s); "
+                            "re-running %d jobs singly"
+                            % (e.__class__.__name__, e, len(part)), 0)
+                    for i in part:
+                        if results[i] is None:
+                            results[i] = _run_single(jobs[i], engine)
     return results
 
 

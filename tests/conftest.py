@@ -11,6 +11,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "1"
+# real bugs must not hide behind the executor's launch-failure fallback
+os.environ["PAGAN2_STRICT"] = "1"
 
 import jax  # noqa: E402
 

@@ -348,3 +348,40 @@ def test_single_dispatch_preserves_reads_flag():
     assert executor.EXEC_STATS["single_jobs"] >= 1 or True
     anc, _ = res[0]
     assert anc.is_read_sequence
+
+
+def test_failed_batch_launch_degrades_to_single(monkeypatch):
+    """Launch-level failure recovery: a batched launch that raises
+    (device OOM, backend error) re-runs its jobs singly instead of
+    killing the run; PAGAN2_STRICT re-raises."""
+    import os
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import ModelFactory
+    from pagan2_tpu.align import AlignSettings
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+
+    def jobs():
+        out = []
+        for t in range(3):
+            g1 = build_leaf_graph("ACGTACGTGGACTT", alph.DNA)
+            g2 = build_leaf_graph("ACGTACGGACTTAA", alph.DNA)
+            out.append(executor.PairJob(left=g1, right=g2, model=model,
+                                        settings=AlignSettings()))
+        return out
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(executor, "_launch_sheared_batch", boom)
+    monkeypatch.setenv("PAGAN2_STRICT", "")
+    monkeypatch.delenv("PAGAN2_STRICT", raising=False)
+    executor.reset_stats()
+    res = executor.execute_pair_jobs(jobs())
+    assert all(r is not None and r[0] is not None for r in res)
+    assert executor.EXEC_STATS["single_jobs"] == 3
+
+    monkeypatch.setenv("PAGAN2_STRICT", "1")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="synthetic"):
+        executor.execute_pair_jobs(jobs())
