@@ -403,6 +403,11 @@ class RefAligner:
         i_seq_start = j_seq_start = True
 
         for i, (mat, _sx, _sy) in enumerate(steps):
+            # NB the sequence-END side of this condition can never fire
+            # (consumed-site indices max out at num_sites()-2, one
+            # short of *_length-1) — the REFERENCE has the identical
+            # comparison against sites_length()-1
+            # (reference_alignment.cpp:70,260-268); replicated verbatim
             j_gap_type = END_GAP if (j_ind == 0 or
                                      j_ind == right_length - 1) else NORMAL_GAP
             i_gap_type = END_GAP if (i_ind == 0 or

@@ -239,11 +239,14 @@ def shardband_args(left: SequenceGraph, right: SequenceGraph,
     Dn = W + Rp - 2
     Dpk = -(-Dn // H) * H
 
-    # sheared match scores on the (possibly wider) padded lane grid
+    # sheared match scores on the (possibly wider) padded lane grid —
+    # sheared on HOST (_shear_np): a one-device jnp shear would place
+    # the full dense plane on a single chip, the very thing this module
+    # exists to avoid
     ms = np.zeros((W, Rp), dtype)
     ms[:L, :R] = inp["ms"]
-    from .viterbi_sheared import _shear
-    ms_sh = np.asarray(_shear(jnp.asarray(ms), Dpk + 1))[1:]  # d=1..Dpk
+    from .viterbi_sheared import _shear_np
+    ms_sh = np.ascontiguousarray(_shear_np(ms, Dpk + 1))[1:]  # d=1..Dpk
 
     # overlapped (halo+owned) per-lane shards
     def ov(vec, fill=0.0, dt=None):
@@ -316,6 +319,9 @@ def shardband_align_path(left: SequenceGraph, right: SequenceGraph,
     cannot reach the end corner (viterbi_alignment.cpp:298-317)."""
     from .viterbi_jax import _backtrack_arrays
     n_dev = int(np.prod(mesh.devices.shape))
+    # the halo refresh pulls the neighbour's last H lanes, which are
+    # only exact when every device owns at least H lanes
+    H = min(H, _lane_split(left.num_sites() - 1, n_dev))
 
     def run(bnd):
         args, meta = shardband_args(left, right, model, settings, n_dev,
@@ -571,6 +577,7 @@ def shardband_fanin_align_path(left: SequenceGraph,
     n_dev = int(np.prod(mesh.devices.shape))
     inp = prepare_fanin(left, right, model, settings, dtype)
     L, R = inp["L"], inp["R"]
+    H = min(H, _lane_split(L, n_dev))
     KL, KR = inp["KL"], inp["KR"]
     OLm, ORm = max(inp["OL"], 1), max(inp["OR"], 1)
     G = _g_bucket(OLm + ORm)
@@ -607,8 +614,8 @@ def shardband_fanin_align_path(left: SequenceGraph,
         vhi_f = np.full(Wt, 0, np.int32)
         vhi_f[:L] = vhi
 
-        Base = Dn - 1 + HALO
-        Ext = Base + Wt + HALO + 1
+        Base = Dn - 1 + H
+        Ext = Base + Wt + H + 1
 
         def rev(vec, fill, dt):
             out = np.full(Ext, fill, dt)

@@ -1060,15 +1060,19 @@ def main(argv=None) -> int:
     if args.output_ancestors or args.events:
         from .pipeline.ancestors import (reconstruct_parsimony_ancestors,
                                          reconstruct_ml_ancestors)
-        if args.no_bppancestors or len(entries) >= 500:
-            reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
-        else:
-            # ML ancestors (the in-framework BppAncestors equivalent,
-            # input_output_parser.cpp:586-612; parsimony above 500 seqs)
+        # the parsimony pass is STRUCTURAL (pushes parent states into
+        # unmatched sites, marks never-matched sites NON_REAL so the
+        # extraction gaps them) and always runs; ML then refines the
+        # states on top for <500 sequences (the in-framework
+        # BppAncestors equivalent, input_output_parser.cpp:586-612 —
+        # the reference also runs its own reconstruction before
+        # feeding Bpp)
+        reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
+        if not (args.no_bppancestors or len(entries) >= 500):
             try:
                 reconstruct_ml_ancestors(res.tree, mf)
             except Exception:
-                reconstruct_parsimony_ancestors(res.tree, mf.alphabet)
+                pass    # parsimony states already in place
         from .pipeline.progressive import extract_alignment
         full = extract_alignment(res.tree, True, data_type=data_type)
         if args.output_ancestors:

@@ -65,8 +65,6 @@ def get_lib():
     lib.p2n_kmer_anchors.argtypes = [
         ctypes.c_char_p, i64, ctypes.c_char_p, i64, i64, i64, p64, p64,
         p64, i64]
-    lib.p2n_smooth_bounds.restype = None
-    lib.p2n_smooth_bounds.argtypes = [p64, p64, i64, i64]
     lib.p2n_maxmin_subsample.restype = None
     lib.p2n_maxmin_subsample.argtypes = [pd, i64, i64, i64, pu8]
     p32 = ctypes.POINTER(ctypes.c_int32)

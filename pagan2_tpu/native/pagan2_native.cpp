@@ -183,27 +183,6 @@ int64_t p2n_kmer_anchors(const char* s1, int64_t n1,
     return (int64_t)hits.size();
 }
 
-// Monotone tunnel-bound construction over anchor hits
-// (Find_anchors::define_tunnel_with_overlapping_hits,
-// find_anchors.cpp:633-861 in spirit; the exact bound logic lives in
-// align/anchors.py define_tunnel — this native version reproduces the
-// simple per-x min/max smoothing used there for plain coordinates).
-// upper/lower are int64 arrays of length l1 pre-filled by the caller.
-void p2n_smooth_bounds(int64_t* upper, int64_t* lower, int64_t l1,
-                       int64_t l2) {
-    int64_t hi = 0;
-    for (int64_t x = 0; x < l1; ++x) {           // upper: running max
-        if (upper[x] < hi) upper[x] = hi;
-        if (upper[x] > l2) upper[x] = l2;
-        hi = upper[x];
-    }
-    int64_t lo = l2;
-    for (int64_t x = l1 - 1; x >= 0; --x) {      // lower: running min
-        if (lower[x] > lo) lower[x] = lo;
-        if (lower[x] < upper[x]) lower[x] = upper[x];
-        lo = lower[x];
-    }
-}
 
 // Greedy max-min taxon subsampling over a flattened distance matrix
 // (the native BppPhySamp equivalent used by --prune-extended-alignment;

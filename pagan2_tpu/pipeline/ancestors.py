@@ -18,6 +18,8 @@ from ..models.alphabets import Alphabet
 def reconstruct_parsimony_ancestors(tree: TreeNode, alphabet: Alphabet):
     """Push resolved parent states down the tree, marking never-matched
     sites non-real (exact transliteration of node.h:1027-1072)."""
+    from ..utils import ensure_recursion_for_depth, tree_depth
+    ensure_recursion_for_depth(tree_depth(tree))
     g = tree.graph
     child_parsimony = alphabet.child_parsimony
 
@@ -57,6 +59,8 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
     Mutates internal-node graph states at matched sites to the
     max-marginal-posterior canonical state.
     """
+    from ..utils import ensure_recursion_for_depth, tree_depth
+    ensure_recursion_for_depth(tree_depth(tree))
     a = model_factory.alphabet
     nc = a.n_canon
 
@@ -71,24 +75,31 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
                                   model_factory.v, max(dist, 1e-9))
         return pmats[key]
 
-    def partial_for_state(st):
+    # state -> canonical-indicator partials, one gather table (-1 maps
+    # to all-missing = uniform)
+    partial_table = np.ones((a.n_full + 1, nc))
+    for st in range(a.n_full):
         v = np.zeros(nc)
-        if st < 0:
-            v[:] = 1.0
-            return v
         if st < nc:
             v[st] = 1.0
-            return v
-        n_units = int(a.n_units[st])
-        for k in range(n_units):
-            m = int(a.members[st, k])
-            if 0 <= m < nc:
-                v[m] = 1.0
-        if not v.any():
-            v[:] = 1.0
-        return v
+        else:
+            for k in range(int(a.n_units[st])):
+                m = int(a.members[st, k])
+                if 0 <= m < nc:
+                    v[m] = 1.0
+            if not v.any():
+                v[:] = 1.0
+        partial_table[st + 1] = v
 
-    # upward (postorder) partial likelihoods per site of each graph
+    def _norm_rows(v):
+        # per-site rescaling: partials shrink multiplicatively per
+        # level and underflow to 0 on deep trees; the argmax
+        # posteriors are scale-invariant
+        m = v.max(axis=1, keepdims=True)
+        return v / np.where(m > 0, m, 1.0)
+
+    # upward (postorder) partial likelihoods, one vectorized
+    # gather+matmul per node (not per site)
     up: dict[int, np.ndarray] = {}
 
     def upward(node: TreeNode):
@@ -96,28 +107,24 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
         n = g.num_sites()
         L = np.ones((n, nc))
         if node.is_leaf:
-            for i in range(1, n - 1):
-                L[i] = partial_for_state(g.states[i])
+            st = np.asarray(g.states[1:n - 1], np.int64)
+            L[1:n - 1] = partial_table[st + 1]
             up[id(node)] = L
             return L
         lL = upward(node.left)
         rL = upward(node.right)
         pl = pm(node.left.dist)
         pr = pm(node.right.dist)
-        for i in range(1, n - 1):
-            li = g.child_l[i]
-            ri = g.child_r[i]
-            v = np.ones(nc)
-            if li >= 0:
-                v = v * (pl @ lL[li])
-            if ri >= 0:
-                v = v * (pr @ rL[ri])
-            # per-site rescaling: partials shrink multiplicatively per
-            # level and underflow to 0 on deep trees, silently skipping
-            # the argmax assignment below; the argmax posteriors are
-            # scale-invariant, so normalize here
-            m = v.max()
-            L[i] = v / m if m > 0 else v
+        li = np.asarray(g.child_l[1:n - 1], np.int64)
+        ri = np.asarray(g.child_r[1:n - 1], np.int64)
+        v = np.ones((n - 2, nc))
+        has_l = li >= 0
+        if has_l.any():
+            v[has_l] *= lL[li[has_l]] @ pl.T
+        has_r = ri >= 0
+        if has_r.any():
+            v[has_r] *= rL[ri[has_r]] @ pr.T
+        L[1:n - 1] = _norm_rows(v)
         up[id(node)] = L
         return L
 
@@ -130,11 +137,13 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
         g = node.graph
         if node.is_leaf:
             return
+        n = g.num_sites()
         L = up[id(node)]
-        for i in range(1, g.num_sites() - 1):
-            post = down[i] * L[i]
-            if post.sum() > 0 and g.states[i] >= 0:
-                g.states[i] = int(np.argmax(post))
+        post = down[1:n - 1] * L[1:n - 1]
+        states = np.asarray(g.states[1:n - 1], np.int64)
+        ok = (post.sum(axis=1) > 0) & (states >= 0)
+        new = np.where(ok, post.argmax(axis=1), states)
+        g.states[1:n - 1] = [int(x) for x in new]
         # propagate to children
         for child, sib, pc, psib in (
                 (node.left, node.right, pm(node.left.dist),
@@ -143,18 +152,21 @@ def reconstruct_ml_ancestors(tree: TreeNode, model_factory,
                  pm(node.left.dist))):
             if child.is_leaf:
                 continue
+            ci = np.asarray(g.child_l[1:n - 1]
+                            if child is node.left
+                            else g.child_r[1:n - 1], np.int64)
+            si = np.asarray(g.child_r[1:n - 1]
+                            if child is node.left
+                            else g.child_l[1:n - 1], np.int64)
             cd = np.ones((child.graph.num_sites(), nc))
-            for i in range(1, g.num_sites() - 1):
-                ci = g.child_l[i] if child is node.left else g.child_r[i]
-                si = g.child_r[i] if child is node.left else g.child_l[i]
-                if ci < 0:
-                    continue
-                msg = down[i].copy()
-                if si >= 0:
-                    msg = msg * (psib @ up[id(sib)][si])
-                msg = msg @ pc
-                m = msg.max()
-                cd[ci] = msg / m if m > 0 else msg
+            valid = ci >= 0
+            msg = down[1:n - 1].copy()
+            has_sib = valid & (si >= 0)
+            if has_sib.any():
+                sibL = up[id(sib)]
+                msg[has_sib] *= sibL[si[has_sib]] @ psib.T
+            res = msg[valid] @ pc
+            cd[ci[valid]] = _norm_rows(res)
             downward(child, cd)
 
     root_down = np.tile(pi, (tree.graph.num_sites(), 1))

@@ -245,3 +245,41 @@ def test_executor_routes_giant_fanin_pairs_to_shardband(model,
     assert end.score == pytest.approx(end_s.score, rel=1e-12)
     assert [int(x) for x in anc.states[:anc.num_sites()]] == \
         [int(x) for x in anc_s.states[:anc_s.num_sites()]]
+
+
+def test_small_width_shards_clamp_halo(model):
+    """Owned width below the default halo (w < H) must still be exact:
+    the halo pull reads the neighbour's last H lanes, which are only
+    fully owned when H <= w — the entry points clamp H accordingly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = _band_mesh(8)            # bucket(129)=256 -> w=32? force small
+    g1, g2 = _pair(31, 129, 140)
+    s = AlignSettings()
+    path, end = shardband_align_path(g1, g2, model, s, mesh, H=64)
+    g1o, g2o = _pair(31, 129, 140)
+    opath, oend = sheared_align_path(g1o, g2o, model, s)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    assert end.score == pytest.approx(oend.score, rel=1e-12)
+
+
+def test_fanin_shardband_large_halo(model):
+    """H larger than the default must stay exact in the fan-in fill
+    (the reversed-vector margins are built from the same H the kernel
+    slices with)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    from pagan2_tpu.align.viterbi_shardband import (
+        shardband_fanin_align_path)
+    from pagan2_tpu.align.viterbi_fanin import fanin_align_path
+    mesh = _band_mesh(4)
+    s = AlignSettings()
+    g1, g2 = _fanin_pair(7, 220)
+    path, end = shardband_fanin_align_path(g1, g2, model, s, mesh,
+                                           H=40)
+    g1o, g2o = _fanin_pair(7, 220)
+    opath, oend = fanin_align_path(g1o, g2o, model, s)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    assert end.score == pytest.approx(oend.score, rel=1e-12)
