@@ -859,7 +859,8 @@ def main(argv=None) -> int:
             min_query_identity=args.min_query_identity,
             query_cluster_attempts=args.query_cluster_attempts,
             query_distance=args.query_distance,
-            use_consensus=args.use_consensus or args.build_contigs,
+            use_consensus=(args.use_consensus or args.build_contigs or
+                           args.output_consensus),
             consensus_minimum=args.consensus_minimum,
             consensus_minimum_proportion=args.consensus_minimum_proportion,
             overlap_with_any=args.overlap_with_any,
@@ -929,6 +930,11 @@ def main(argv=None) -> int:
                 query_cluster_attempts=args.query_cluster_attempts,
                 query_distance=args.query_distance,
                 overlap_with_any=args.overlap_with_any,
+                use_consensus=(args.use_consensus or args.build_contigs
+                               or args.output_consensus),
+                consensus_minimum=args.consensus_minimum,
+                consensus_minimum_proportion=(
+                    args.consensus_minimum_proportion),
                 engine=args.engine)
             pres = pileup_align(queries, data_type, pcfg,
                                 model_factory=mf, settings=settings,
@@ -972,6 +978,9 @@ def main(argv=None) -> int:
                 rank_reads_for_nodes=args.rank_reads_for_nodes,
                 tid_for_subroot=args.tid_for_subroot,
                 score_as_dna=args.score_as_dna,
+                compute_consensus=(args.use_consensus or
+                                   args.build_contigs or
+                                   args.output_consensus),
                 # exonerate preselection equivalents
                 # (settings.cpp:355-380, :415-417)
                 preselect_keep_best=(

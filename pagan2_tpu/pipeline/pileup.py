@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..graph.builders import build_leaf_graph, revcomp
+from ..graph.builders import build_leaf_graph
 from ..io.fasta import FastaEntry, clean_sequence
 from ..models import ModelFactory, alphabets as alph
 from ..align import align_pair, AlignSettings
@@ -173,17 +173,29 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
         global_root.dist = 0.001
         read_list = reads[1:]
 
+    # ladder node numbering starts past any #N# names already in the
+    # root tree (--align-reads-at-root hands us a named reference tree;
+    # a colliding name would make read_alignment_scores resolve the
+    # wrong node)
     count = 2
-    attempts = {r.name: 0 for r in reads}
-    accepted = {ref_root_name}
+    if root_node is not None:
+        import re as _re
+        for n in root_node.nodes_postorder():
+            m = _re.fullmatch(r"#(\d+)#", n.name or "")
+            if m:
+                count = max(count, int(m.group(1)) + 1)
+    # per-ENTRY bookkeeping, like the reference's cluster_attempts
+    # field on Fasta_entry — duplicate read NAMES must not collapse
+    attempts = {id(r): 0 for r in reads}
+    accepted_ids: set[int] = set()
     model = model_factory.alignment_model(0.001 + config.query_distance)
 
     from ..utils import log_progress, finish_progress
     for _round in range(config.query_cluster_attempts):
         for ri, read in enumerate(read_list):
-            if attempts[read.name] >= config.query_cluster_attempts:
+            if attempts[id(read)] >= config.query_cluster_attempts:
                 continue
-            attempts[read.name] += 1
+            attempts[id(read)] += 1
             # "aligning read X (k/n)" progress (reads_aligner.cpp:176)
             log_progress("aligning read %s (%d/%d)"
                          % (read.name, ri + 1, len(read_list)), 0)
@@ -237,20 +249,21 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
                     ident > config.min_query_identity:
                 global_root = node
                 count += 1
-                accepted.add(read.name)
-                attempts[read.name] = config.query_cluster_attempts
+                accepted_ids.add(id(read))
+                attempts[id(read)] = config.query_cluster_attempts
             elif ov_rc > config.min_query_overlap and \
                     ident_rc > config.min_query_identity:
                 global_root = node_rc
                 count += 1
-                accepted.add(read.name)
-                attempts[read.name] = config.query_cluster_attempts
+                accepted_ids.add(id(read))
+                attempts[id(read)] = config.query_cluster_attempts
             else:
                 # rejection costs an extra attempt (reads_aligner.cpp:251)
-                attempts[read.name] += 1
+                attempts[id(read)] += 1
     finish_progress()
 
-    discarded = [r.name for r in read_list if r.name not in accepted]
+    discarded = [r.name for r in read_list
+                 if id(r) not in accepted_ids]
     alignment = _extract(global_root)
     consensus = None
     if config.use_consensus:
@@ -301,15 +314,15 @@ def translated_pileup_align(reads: list[FastaEntry],
     global_root.dist = 0.001
 
     count = 2
-    attempts = {r.name: 0 for r in reads}
-    accepted = {ref_root_name}
+    attempts = {id(r): 0 for r in reads}
+    accepted_ids: set[int] = set()
     model = model_factory.alignment_model(0.001 + config.query_distance)
 
     for _round in range(config.query_cluster_attempts):
         for read in reads[1:]:
-            if attempts[read.name] >= config.query_cluster_attempts:
+            if attempts[id(read)] >= config.query_cluster_attempts:
                 continue
-            attempts[read.name] += 1
+            attempts[id(read)] += 1
             orfs = find_orfs(read.sequence, read.name, min_orf_length,
                              min_orf_coverage, mt=mt)
             if not orfs:
@@ -352,10 +365,11 @@ def translated_pileup_align(reads: list[FastaEntry],
                                                      orf.end + 1)
                 global_root = node
                 count += 1
-                accepted.add(read.name)
-                attempts[read.name] = config.query_cluster_attempts
+                accepted_ids.add(id(read))
+                attempts[id(read)] = config.query_cluster_attempts
 
-    discarded = [r.name for r in reads[1:] if r.name not in accepted]
+    discarded = [r.name for r in reads[1:]
+                 if id(r) not in accepted_ids]
     alignment = _extract(global_root)
     return PileupResult(root=global_root, alignment=alignment,
                         discarded=discarded)

@@ -88,6 +88,9 @@ class PlacementConfig:
     # preselection (settings.cpp:355-380, reads_aligner.cpp:1841-1994).
     # 0 disables preselection (--own-placement).
     preselect_keep_best: int = 0
+    # accumulate pileup consensus counts in spliced graphs (needed by
+    # --output-consensus/--build-contigs on placement runs)
+    compute_consensus: bool = False
 
 
 @dataclass
@@ -242,7 +245,10 @@ def _build_score_jobs(entry, cand, nodes_map, fwd_graph, rc_graph, model,
 
 def _pick_best_nodes(cand, scores, per_strand, cfg: PlacementConfig):
     """Tie-aware target choice from per-(node x strand) scores
-    (find_nodes_for_query score comparison, reads_aligner.cpp:2212-2278).
+    (find_nodes_for_query score comparison, reads_aligner.cpp:2170-2260
+    — ties append AND update query_strand to the tying strand; '>='
+    replaces, so under --one-placement-only the LAST tied candidate
+    wins, both exactly like the reference).
     Returns (best_score, best_nodes, best_strand_rev)."""
     best_score = -float("inf")
     best_nodes: list[str] = []
@@ -252,6 +258,7 @@ def _pick_best_nodes(cand, scores, per_strand, cfg: PlacementConfig):
         if sc == best_score and not cfg.one_placement_only \
                 and not cfg.exhaustive_placement:
             best_nodes.append(name)
+            best_strand_rev = False
         elif sc >= best_score:
             best_score = sc
             best_nodes = [name]
@@ -261,6 +268,7 @@ def _pick_best_nodes(cand, scores, per_strand, cfg: PlacementConfig):
             if sc == best_score and not cfg.one_placement_only \
                     and not cfg.exhaustive_placement:
                 best_nodes.append(name)
+                best_strand_rev = True
             elif sc >= best_score:
                 best_score = sc
                 best_nodes = [name]
@@ -490,14 +498,24 @@ def _align_accept_splice(tree, target, ref_node_name, entry, rev_hint,
     reference does). Returns (accepted, tree, single_ref, count,
     orig_dist, new_node)."""
 
+    # unique read name decided UP FRONT: with multiple placements the
+    # target subtree may already contain an earlier placement of this
+    # query, and read_alignment_scores resolves the read by NAME — the
+    # old leaf must not shadow the new one
+    n_seen = name_counts.get(entry.name, 0)
+    read_name = entry.name if n_seen == 0 else \
+        f"{entry.name}.{n_seen}"
+
     def try_strand(rc: bool):
         rnode = _read_leaf(entry, rc, data_type, cfg)
+        rnode.name = read_name
         node = TreeNode(name=f"#{count}#", children=[target, rnode])
         node.left.dist = 0.001
         anc, _ = align_pair(target.graph, rnode.graph, model,
                             settings, left_branch_length=0.001,
                             right_branch_length=cfg.query_distance,
-                            is_reads_sequence=True, engine=cfg.engine)
+                            is_reads_sequence=True, engine=cfg.engine,
+                            compute_consensus=cfg.compute_consensus)
         if anc is None:
             # anchoring-threshold skip (node.cpp:155-186)
             return None, -1.0, -1.0
@@ -505,7 +523,7 @@ def _align_accept_splice(tree, target, ref_node_name, entry, rev_hint,
         anc.has_read_descendants = True
         node.graph = anc
         ov, ident = read_alignment_scores(
-            node, entry.name, ref_node_name,
+            node, read_name, ref_node_name,
             overlap_with_any=cfg.overlap_with_any)
         return node, ov, ident
 
@@ -529,10 +547,6 @@ def _align_accept_splice(tree, target, ref_node_name, entry, rev_hint,
     count += 1
     if orig_dist > new_node.dist:
         orig_dist -= new_node.dist
-    # unique read names for repeated placements
-    n_seen = name_counts.get(entry.name, 0)
-    if n_seen:
-        new_node.right.name = f"{entry.name}.{n_seen}"
     name_counts[entry.name] = n_seen + 1
     new_node.dist = orig_dist
 
@@ -608,6 +622,12 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
         if "TID=" in (entry.comment or ""):
             qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
         cand = _candidate_names(tree, cfg, qtid)
+        # the single-match shortcut below is the TID rule
+        # (reads_aligner.cpp:2748): it applies when the ORIGINAL
+        # candidate set has one node, NOT when preselection narrowed
+        # it to one — preselected candidates must still be scored
+        # (5% discard check, strand choice)
+        tid_single = len(cand) == 1
         if not cfg.find_orfs:
             # ORF queries are DNA against protein targets — k-mer
             # preselection is meaningless there, ORF scoring picks
@@ -618,6 +638,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             discarded.append(entry)
             continue
 
+        orig_entry = entry
         if cfg.find_orfs:
             orf_entry = _select_best_orf(entry, cand, nodes_map, model,
                                          settings, cfg, data_type)
@@ -629,7 +650,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
         fwd_graph = _read_leaf(entry, False, data_type, cfg).graph
         rc_graph = (_read_leaf(entry, True, data_type, cfg).graph
                     if compare_reverse else None)
-        if len(cand) == 1 and not cfg.rank_reads_for_nodes:
+        if tid_single and not cfg.rank_reads_for_nodes:
             # single matching node: assigned without scoring unless
             # --rank-reads-for-nodes asks for a real node_score
             # (reads_aligner.cpp:2748)
@@ -652,7 +673,9 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
                 if cfg.align_bad_reads_at_root:
                     best_nodes = [tree.name]
                 else:
-                    discarded.append(entry)
+                    # report the ORIGINAL query (--find-orfs replaced
+                    # `entry` with its protein translation)
+                    discarded.append(orig_entry)
                     continue
 
         # ---- per target node: align, accept, splice ----
@@ -674,7 +697,7 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
             accepted_any = accepted_any or ok
 
         if not accepted_any:
-            discarded.append(entry)
+            discarded.append(orig_entry)
 
     alignment = extract_alignment(tree, False, data_type=data_type)
     out = ProgressiveResult(tree=tree, alignment=alignment)
@@ -729,15 +752,18 @@ def place_queries_grouped(res: ProgressiveResult,
         if "TID=" in (entry.comment or ""):
             qtid = entry.comment.split("TID=")[1].split()[0].strip("[]")
         cand = _candidate_names(tree, cfg, qtid)
+        tid_single = len(cand) == 1
         if not cfg.find_orfs:
             cand = _preselect_candidates(entry, cand, nodes_map,
                                          cfg.preselect_keep_best,
                                          data_type, _kmer_cache)
         info = {"entry": entry, "cand": cand, "nodes": [],
-                "score": -float("inf"), "rev": False}
+                "score": -float("inf"), "rev": False,
+                "tid_single": tid_single}
         per_query.append(info)
         if not cand:
             continue
+        info["orig"] = entry
         if cfg.find_orfs:
             # translated_query_placement_all (reads_aligner.cpp:1353-1436)
             orf_entry = _select_best_orf(entry, cand, nodes_map, model,
@@ -747,7 +773,7 @@ def place_queries_grouped(res: ProgressiveResult,
                 continue
             entry = orf_entry
             info["entry"] = entry
-        if len(cand) == 1 and not cfg.rank_reads_for_nodes:
+        if tid_single and not cfg.rank_reads_for_nodes:
             info["nodes"] = [cand[0]]
             info["score"] = 1.0
             continue
@@ -782,7 +808,7 @@ def place_queries_grouped(res: ProgressiveResult,
 
     for info in per_query:
         if not info["nodes"]:
-            discarded.append(info["entry"])
+            discarded.append(info.get("orig", info["entry"]))
 
     # ---- phase 2: one tagged node at a time (:443-620) ----
     unique_nodes = sorted({nm for info in per_query
@@ -805,7 +831,7 @@ def place_queries_grouped(res: ProgressiveResult,
             ok, tree, single_ref, count, orig_dist, new_node = \
                 _align_accept_splice(
                     tree, target, ref_node_name, entry, info["rev"],
-                    len(info["cand"]) == 1, count, orig_dist, cfg,
+                    info["tid_single"], count, orig_dist, cfg,
                     model, settings, data_type, model_factory,
                     compare_reverse, min_ov, min_id, name_counts,
                     placed, single_ref)
@@ -817,10 +843,13 @@ def place_queries_grouped(res: ProgressiveResult,
             target = new_node
             ref_node_name = new_node.name
 
+    already = {id(e) for e in discarded}
     for info in per_query:
+        orig = info.get("orig", info["entry"])
         if info["nodes"] and id(info["entry"]) not in accepted \
-                and info["entry"] not in discarded:
-            discarded.append(info["entry"])
+                and id(orig) not in already:
+            discarded.append(orig)
+            already.add(id(orig))
 
     alignment = extract_alignment(tree, False, data_type=data_type)
     out = ProgressiveResult(tree=tree, alignment=alignment)

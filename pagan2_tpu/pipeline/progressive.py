@@ -97,10 +97,37 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
     # restarted run skips them
     ckpt = None
     if checkpoint_dir:
+        import hashlib
+        import json
         import os
         from ..graph.serialize import graph_to_npz, graph_from_npz
         from ..utils import log_out
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # fingerprint the run: node names are #N# for every tree, so a
+        # reused directory from a DIFFERENT run would silently load
+        # foreign graphs without this check
+        h = hashlib.sha256()
+        for leaf in sorted(tree.leaves(), key=lambda n: n.name):
+            h.update(leaf.name.encode())
+            h.update(seq_map[leaf.name].sequence.encode()
+                     if leaf.name in seq_map else b"")
+        h.update(tree.to_newick().encode())
+        h.update(data_type.encode())
+        fp = h.hexdigest()
+        manifest = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(manifest):
+            try:
+                old = json.load(open(manifest)).get("fingerprint")
+            except Exception:
+                old = None
+            if old != fp:
+                raise ValueError(
+                    "checkpoint dir %r belongs to a different run "
+                    "(input/tree fingerprint mismatch); use one "
+                    "directory per run" % checkpoint_dir)
+        else:
+            with open(manifest, "w") as f:
+                json.dump({"fingerprint": fp}, f)
 
         def _ckpt_path(node):
             safe = node.name.replace("#", "n").replace("/", "_")

@@ -142,3 +142,32 @@ def test_build_contigs_includes_read_rows():
     assert {len(e.sequence) for e in both} == {len(cons[0].sequence)}
     for e in read_rows:
         assert e.sequence.replace("-", "") != ""
+
+
+def test_placement_contigs_have_real_consensus():
+    """--build-contigs on a placement run: spliced graphs accumulate
+    pileup counts when PlacementConfig.compute_consensus is set, so the
+    contig consensus carries real bases, not all dashes."""
+    from pagan2_tpu.pipeline.refread import read_reference_alignment
+    from pagan2_tpu.pipeline.placement import (place_queries,
+                                               PlacementConfig)
+    from pagan2_tpu.pipeline.pileup import (reconstruct_contigs,
+                                            PileupConfig)
+    entries = [FastaEntry("a", "ACGTACGTGGACTTACGT"),
+               FastaEntry("b", "ACGTACGTGGACTTACGT")]
+    ref = read_reference_alignment(entries, "(a:0.1,b:0.1);",
+                                   data_type="dna")
+    qs = [FastaEntry("q1", "ACGTACGTGGACTTACGT"),
+          FastaEntry("q2", "ACGTACGTGGACTTACGT")]
+    cfg = PlacementConfig(one_placement_only=True,
+                          min_query_overlap=0.4, min_query_identity=0.4,
+                          compute_consensus=True)
+    out = place_queries(ref, qs, "dna", cfg)
+    assert len(out.placed) == 2
+    ccfg = PileupConfig(consensus_minimum=1,
+                        consensus_minimum_proportion=0.1)
+    rows = reconstruct_contigs(out.result.tree, ccfg,
+                               consensus_only=True)
+    assert rows
+    body = rows[0].sequence.replace("-", "").replace("n", "")
+    assert body, "consensus must carry real bases"

@@ -204,7 +204,7 @@ def test_checkpoint_resume(tmp_path):
     res1 = align_progressive(make_entries(seqs), tree,
                              data_type="dna", checkpoint_dir=ck)
     rows1 = {e.name: e.sequence for e in res1.alignment}
-    files = sorted(os.listdir(ck))
+    files = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
     assert len(files) == 3          # three internal nodes
 
     executor.reset_stats()
@@ -223,6 +223,13 @@ def test_checkpoint_resume(tmp_path):
              executor.EXEC_STATS["single_jobs"])
     assert total == 1, executor.EXEC_STATS
     assert {e.name: e.sequence for e in res3.alignment} == rows1
+
+    # a different run must refuse the same directory
+    other = {"a": "ACGTACGTGGACTTAC", "b": "ACGTACGGACTTAGGT"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different run"):
+        align_progressive(make_entries(other), "(a:0.1,b:0.1);",
+                          data_type="dna", checkpoint_dir=ck)
 
 
 def test_graph_npz_roundtrip():
