@@ -87,6 +87,22 @@ def _acct(t0, cells):
     EXEC_STATS["single_fills"] = EXEC_STATS.get("single_fills", 0) + 1
 
 
+def _debug_dump_matrices(aligner, left, right, model, settings,
+                         lb, rb):
+    """Noise-5 DP matrix dump (Viterbi_alignment::print_matrices,
+    viterbi_alignment.cpp:369,2913-3096). When the pair was filled on
+    the device (no cell structs to walk) a host oracle fill is redone
+    just for the dump — noise 5 is a tiny-input debug mode, so the
+    O(L*R) host loops are acceptable there."""
+    from ..utils.log import get_noise
+    if get_noise() < 5:
+        return
+    if aligner is None:
+        aligner = PairAligner(left, right, model, settings, lb, rb)
+        aligner.fill()
+    log_out(aligner.print_matrices(), 5)
+
+
 def _band_cells(band, L, R):
     """In-band cell count (the work a banded fill actually does)."""
     import numpy as np
@@ -196,6 +212,9 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
             def draw_extra():
                 return aligner.sample_path(rng)[0]
         _acct(_t0, _Lc * _Rc)
+        _debug_dump_matrices(None if use_device else aligner,
+                             left, right, model, settings,
+                             left_branch_length, right_branch_length)
         anc = build_ancestral_graph(left, right, path, model, settings,
                                     left_branch_length, right_branch_length,
                                     is_reads_sequence,
@@ -217,6 +236,7 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
 
     path = None
     end = None
+    _dbg_aligner = None
     if engine in ("jax", "auto"):
         try:
             # full-prob/sampling were handled above; pair-end penalties
@@ -294,11 +314,14 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                               left_branch_length, right_branch_length)
         path, end = aligner.align()
         _acct(_t0, (left.num_sites() - 1) * (right.num_sites() - 1))
+        _dbg_aligner = aligner
         if settings.compute_full_score:
             from ..io import plots
             if plots.posterior_sink_active():
                 plots.add_posterior_figure(aligner)
 
+    _debug_dump_matrices(_dbg_aligner, left, right, model, settings,
+                         left_branch_length, right_branch_length)
     anc = build_ancestral_graph(left, right, path, model, settings,
                                 left_branch_length, right_branch_length,
                                 is_reads_sequence,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import math
+
 import numpy as np
 
 from ..graph.sequence_graph import SequenceGraph, BREAK_START_SITE, REAL_SITE
@@ -730,6 +732,36 @@ class PairAligner:
         end = self.fill()
         path = self._backtrack(PathPtr(end, True))
         return path, end
+
+    def print_matrices(self) -> str:
+        """Debug dump of the three DP matrices
+        (Viterbi_alignment::print_matrices, viterbi_alignment.cpp:
+        2913-3096): per matrix the backpointer-matrix ids and Viterbi
+        scores, plus log fwd/bwd/full probabilities when the full score
+        was computed. Rows are j (right sites), columns i (left sites),
+        matching the reference's transposed loops. Emitted at noise
+        level 5 (viterbi_alignment.cpp:369)."""
+        full = self.s.compute_full_score
+        out = []
+
+        def grid(tag, get, fmt="%8.4f"):
+            out.append(tag)
+            for j in range(self.R):
+                out.append(" ".join(fmt % get(i, j)
+                                    for i in range(self.L)))
+            out.append("")
+
+        def safe_log(v):
+            return math.log(v) if v > 0 else float("-inf")
+
+        for tag, mat in (("m", self.M), ("x", self.X), ("y", self.Y)):
+            grid(tag, lambda i, j, m=mat: m[i][j].matrix, "%d")
+            grid(tag, lambda i, j, m=mat: m[i][j].score)
+            if full:
+                grid(tag, lambda i, j, m=mat: safe_log(m[i][j].fwd_score))
+                grid(tag, lambda i, j, m=mat: safe_log(m[i][j].bwd_score))
+                grid(tag, lambda i, j, m=mat: safe_log(m[i][j].full_score))
+        return "\n".join(out)
 
     # -- backtrack (viterbi_alignment.cpp:1038-1189) ------------------
     def _backtrack(self, fp: PathPtr):

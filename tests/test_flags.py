@@ -187,6 +187,36 @@ def test_mpost_and_r_plot_writers(tmp_path):
     assert "anc_x1 <- c(" in rtext and "tunnel_upper <- c(" in rtext
 
 
+def test_noise5_matrix_dump(capsys):
+    # Viterbi_alignment::print_matrices is emitted at noise level 5
+    # (viterbi_alignment.cpp:369,2913-3096) for every filled pair;
+    # below that level nothing is dumped.
+    from pagan2_tpu.utils.log import set_noise
+    g1 = build_leaf_graph("ACGT", alph.DNA)
+    g2 = build_leaf_graph("AGGT", alph.DNA)
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.2)
+    try:
+        set_noise(5)
+        align_pair(g1, g2, model, AlignSettings(), engine="oracle")
+        err = capsys.readouterr().err
+        # three matrices, ids + scores each; full-prob grids absent
+        assert err.count("m\n") >= 2 and "x\n" in err and "y\n" in err
+        set_noise(5)
+        align_pair(build_leaf_graph("ACGTACGT", alph.DNA),
+                   build_leaf_graph("ACGAACGT", alph.DNA), model,
+                   AlignSettings(compute_full_score=True), engine="auto")
+        err = capsys.readouterr().err
+        # device fill: the dump is recomputed on the host oracle and
+        # includes the log fwd/bwd/full grids (5 per matrix)
+        assert err.count("m\n") >= 5
+        set_noise(0)
+        align_pair(g1, g2, model, AlignSettings(), engine="oracle")
+        assert "x\n" not in capsys.readouterr().err
+    finally:
+        set_noise(0)
+
+
 def test_posterior_plot_sink(tmp_path):
     from pagan2_tpu.io import plots
     plots.open_posterior_sink()
