@@ -27,6 +27,87 @@ class ProgressiveResult:
     node_graphs: dict = field(default_factory=dict)
 
 
+def fix_ambiguous_states(node: TreeNode, model) -> None:
+    """Node::fix_ambiguous_states (node.cpp:1610-1636): under
+    --mostcommon ancestral calling, a matched ancestral site is flagged
+    ambiguous when its children disagree or carry an ambiguity
+    character (basic_alignment.cpp:146-155). After each node's
+    alignment, any such site whose two descendant state sets share
+    exactly ONE state — while more than two states were seen in total —
+    is resolved to the shared state, pushed down through the chain of
+    ambiguous descendants (set_ambiguous_state, node.cpp:1660-1690).
+    Returns the set of tree nodes whose graphs were mutated (the
+    push-down rewrites DESCENDANT graphs too — checkpointing re-saves
+    them)."""
+    mutated: dict = {}    # id(node) -> node (TreeNode is unhashable)
+    if getattr(model, "ambiguity_type", "wildcard") != "mostcommon":
+        return mutated
+    from ..utils import ensure_recursion_for_depth, tree_depth
+    ensure_recursion_for_depth(tree_depth(node))
+    g = node.graph
+    for j in range(1, g.num_sites() - 1):
+        if not g.ambiguous[j]:
+            continue
+        lj = g.child_l[j]
+        rj = g.child_r[j]
+        ls: set[int] = set()
+        rs: set[int] = set()
+        if lj >= 0:
+            _gather_ambiguous_states(node.left, lj, ls)
+        if rj >= 0:
+            _gather_ambiguous_states(node.right, rj, rs)
+        shared = ls & rs
+        if len(shared) == 1 and len(ls) + len(rs) > 2:
+            _set_ambiguous_state(node, j, next(iter(shared)), mutated)
+    return mutated
+
+
+def _gather_ambiguous_states(node: TreeNode, pos: int, out: set) -> None:
+    """Node::get_ambiguous_states (node.cpp:1639-1658): the state codes
+    of the nearest non-ambiguous descendants (iterative: ambiguity
+    chains can run the full depth of a ladder tree)."""
+    stack = [(node, pos)]
+    while stack:
+        n, p = stack.pop()
+        g = n.graph
+        if not g.ambiguous[p]:
+            out.add(int(g.states[p]))
+            continue
+        lj = g.child_l[p]
+        rj = g.child_r[p]
+        if lj >= 0:
+            stack.append((n.left, lj))
+        if rj >= 0:
+            stack.append((n.right, rj))
+
+
+def _set_ambiguous_state(node: TreeNode, pos: int, state: int,
+                         mutated: dict) -> bool:
+    """Node::set_ambiguous_state (node.cpp:1660-1690). Reference-
+    verbatim quirks kept: only a direct non-ambiguous descendant with
+    the matching state lets its parent take the state (an ambiguous
+    site always reports False upward, node.cpp:1688), and the right
+    branch is only tried when the left one did not succeed."""
+    g = node.graph
+    if not g.ambiguous[pos]:
+        return int(g.states[pos]) == state
+    lj = g.child_l[pos]
+    rj = g.child_r[pos]
+    anc_syms = alph.ancestral_symbols(g.data_type)
+    cont = True
+    if lj >= 0 and _set_ambiguous_state(node.left, lj, state, mutated):
+        g.states[pos] = int(state)
+        g.symbols[pos] = anc_syms[state]
+        mutated[id(node)] = node
+        cont = False
+    if rj >= 0 and cont and _set_ambiguous_state(node.right, rj, state,
+                                                 mutated):
+        g.states[pos] = int(state)
+        g.symbols[pos] = anc_syms[state]
+        mutated[id(node)] = node
+    return False
+
+
 def match_sequences_to_tree(tree: TreeNode, entries: list[FastaEntry]):
     """Fasta_reader::place_sequences_to_nodes equivalent: leaf names must
     match sequence names (silent prefix matching like the reference's
@@ -178,8 +259,14 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
         for job, (anc, _end) in zip(
                 jobs, execute_pair_jobs(jobs, engine=engine, mesh=mesh)):
             job.key.graph = anc
+            # --mostcommon: resolve ambiguity chains now that the
+            # subtree below this node is complete (node.cpp:167)
+            mutated = fix_ambiguous_states(job.key, job.model)
             if ckpt is not None:
                 ckpt(job.key, write_graph=anc)
+                for d in mutated.values():
+                    if d is not job.key:
+                        ckpt(d, write_graph=d.graph)
     finish_progress()
 
     alignment = extract_alignment(tree, include_internal_nodes,

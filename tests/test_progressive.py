@@ -255,3 +255,30 @@ def test_graph_npz_roundtrip():
     assert list(back.edges.start) == list(anc.edges.start)
     assert [float(w) for w in back.edges.weight] == \
         [float(w) for w in anc.edges.weight]
+
+
+def test_mostcommon_fix_ambiguous_states():
+    # --mostcommon: after each node's alignment the ambiguity chains
+    # are resolved by child-set intersection (fix_ambiguous_states,
+    # node.cpp:1610-1690). Here leaves a/b disagree (A vs G) so their
+    # ancestor is called R; the sister clade is unanimously A, so the
+    # root-level fix pushes A back down into that ancestor.
+    from pagan2_tpu.models import ModelFactory, alphabets as alph
+    entries = [FastaEntry(name="a", sequence="ATAATGG"),
+               FastaEntry(name="b", sequence="ATGATGG"),
+               FastaEntry(name="c", sequence="ATAATGG"),
+               FastaEntry(name="d", sequence="ATAATGG")]
+    nwk = "((a:0.1,b:0.1)e:0.05,(c:0.1,d:0.1)f:0.05);"
+
+    def anc_e(mostcommon):
+        mf = ModelFactory(alph.DNA, mostcommon=mostcommon)
+        res = align_progressive(entries, parse_newick(nwk),
+                                data_type=alph.DNA, model_factory=mf)
+        for n in res.tree.nodes_postorder():
+            if not n.is_leaf and {c.name for c in n.children} == {"a", "b"}:
+                return "".join(s for s in n.graph.symbols if s in "ACGTR")
+        raise AssertionError("node e not found")
+
+    assert "R" in anc_e(False)          # wildcard keeps the ambiguity
+    fixed = anc_e(True)
+    assert "R" not in fixed and fixed == "ATAATGG"
