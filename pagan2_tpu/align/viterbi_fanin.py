@@ -75,6 +75,23 @@ def _g_bucket(n: int) -> int:
     return g
 
 
+def _k_bucket(n: int) -> int:
+    """Candidate-count bucket. K is a static shape in every kernel key
+    (scan-core jit cache AND the pallas static args), and raw K creeps
+    up one edge at a time as a pileup root accumulates fan-in — each
+    step recompiled every kernel (~10 s XLA / minutes pallas over the
+    axon compile service, measured to dominate the 454-pileup
+    wall-clock). Padded candidate slots are invalid by construction
+    (offset 0 is masked in prepare_fanin/stack_fanin), so rounding K up
+    costs only the extra candidate lanes."""
+    if n <= 4:
+        return n
+    for b in (6, 8, 12, 16, 24, 32):
+        if n <= b:
+            return b
+    return _bucket(n)
+
+
 # ----------------------------------------------------------------------
 def _build_core_onehot(KL: int, KR: int, OLm: int, ORm: int, G: int,
                        W: int):
@@ -774,7 +791,9 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
     windowed/banded, O(G x W) ring memory, never a dense plane."""
     inp = prepare_fanin(left, right, model, settings, dtype)
     L, R = inp["L"], inp["R"]
-    KL, KR = inp["KL"], inp["KR"]
+    # bucketed K: reuse one compiled kernel across the K creep
+    # (eligibility checks below read the RAW inp values)
+    KL, KR = _k_bucket(inp["KL"]), _k_bucket(inp["KR"])
     G = _g_bucket(inp["OL"] + inp["OR"])
     Lp, Rp = _bucket(L), _bucket(R)
     D = Lp + Rp - 1

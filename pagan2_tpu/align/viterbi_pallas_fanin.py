@@ -430,8 +430,12 @@ def pallas_fanin_args(inputs: list[dict], Lp: int, Rp: int,
     """Stack per-job prepare_fanin dicts into kernel args (f32)."""
     dtype = np.float32
     B = len(inputs)
-    OLm = max(i["OL"] for i in inputs)
-    ORm = max(i["OR"] for i in inputs)
+    # bucketed static offset dims (like K): the one-edge-at-a-time
+    # creep of accumulating roots then reuses one compiled kernel;
+    # offsets beyond the real maxima match no edge and select nothing
+    from .viterbi_fanin import _k_bucket
+    OLm = _k_bucket(max(i["OL"] for i in inputs))
+    ORm = _k_bucket(max(i["OR"] for i in inputs))
     Dn = Lp + Rp - 2
     Dpk = -(-Dn // TD) * TD
 
@@ -533,8 +537,11 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
     (bp (B, D, Lp) uint32, (sM, sX, sY) (B, Gm, Lp) snapshots) in the
     scan cores' conventions (bp row 0 = diagonal 0, all NONE)."""
     B = len(inputs)
-    OLm = max(i["OL"] for i in inputs)
-    ORm = max(i["OR"] for i in inputs)
+    # same bucketing as pallas_fanin_args (must agree: VMEM chunking
+    # below sizes the ring for the args the kernel actually gets)
+    from .viterbi_fanin import _k_bucket
+    OLm = _k_bucket(max(i["OL"] for i in inputs))
+    ORm = _k_bucket(max(i["OR"] for i in inputs))
     # pad small batches to 8 sublanes when VMEM allows: shrinking
     # generations then reuse ONE compiled kernel instead of one per
     # batch size (compiles are minutes on TPU and not always cached)

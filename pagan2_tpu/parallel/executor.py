@@ -592,8 +592,9 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
                 np.asarray(job.band[1][:L], np.int64), 0,
                 R - 1).astype(np.int32)
         inputs.append(inp)
-    KL = max(inp["KL"] for inp in inputs)
-    KR = max(inp["KR"] for inp in inputs)
+    from ..align.viterbi_fanin import _k_bucket
+    KL = _k_bucket(max(inp["KL"] for inp in inputs))
+    KR = _k_bucket(max(inp["KR"] for inp in inputs))
     G = _g_bucket(max(inp["OL"] + inp["OR"] for inp in inputs))
     EXEC_STATS["fanin_batches"] += 1
     paths: list = [None] * B
@@ -637,9 +638,11 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
         # ilo_ext (arg 12) is the shared window schedule: replicate it
         args = [jax.device_put(a, spec) if k != 12 else a
                 for k, a in enumerate(args)]
+    # offsets are static kernel-key dims like K: bucket them so the
+    # creep (one homopolymer run at a time) reuses compiled kernels
     fill = get_fanin_fill(KL, KR, G, Lp,
-                          OLm=max(i["OL"] for i in inputs),
-                          ORm=max(i["OR"] for i in inputs))
+                          OLm=_k_bucket(max(i["OL"] for i in inputs)),
+                          ORm=_k_bucket(max(i["OR"] for i in inputs)))
     bp, sM, sX, sY = fill(*args)
     EXEC_STATS["launches"] += 1
     EXEC_STATS["batched_jobs"] += B
@@ -870,10 +873,11 @@ def _launch_fanin_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh,
                                        jobs[i].model, dtype,
                                        Lp=Lp, Rp=Rp)
               for i in idxs]
-    KL = max(p["KL"] for p in inputs)
-    KR = max(p["KR"] for p in inputs)
-    KFL = max(p["KFL"] for p in inputs)
-    KFR = max(p["KFR"] for p in inputs)
+    from ..align.viterbi_fanin import _k_bucket
+    KL = _k_bucket(max(p["KL"] for p in inputs))
+    KR = _k_bucket(max(p["KR"] for p in inputs))
+    KFL = _k_bucket(max(p["KFL"] for p in inputs))
+    KFR = _k_bucket(max(p["KFR"] for p in inputs))
     OLm = max(p["OLm"] for p in inputs)
     ORm = max(p["ORm"] for p in inputs)
     F = max(8, ORm)
