@@ -290,13 +290,15 @@ def bench_megabase(rng, model, settings, on_tpu):
     mut = base.copy()
     idx = rng.random(N) < 0.01
     mut[idx] = rng.choice(list("ACGT"), size=int(idx.sum()))
+    from pagan2_tpu.align import anchors as anch
     t0 = time.perf_counter()
     g1 = build_leaf_graph("".join(base), alph.DNA)
     g2 = build_leaf_graph("".join(mut), alph.DNA)
+    t_build = time.perf_counter()
     band, _skipped = plan_band(g1, g2,
                                replace(settings, force_gap=True))
     upper, lower = band
-    prep_s = time.perf_counter() - t0
+    t_band = time.perf_counter()
     in_band = int(np.sum(np.clip(np.asarray(lower[:N], np.int64)
                                  - np.asarray(upper[:N], np.int64) + 1,
                                  0, None)))
@@ -304,6 +306,17 @@ def bench_megabase(rng, model, settings, on_tpu):
         vpb.INTERPRET = True
     args, meta = vpb.pallas_banded_args(g1, g2, model, settings,
                                         upper, lower)
+    t_pack = time.perf_counter()
+    # host-prep breakdown (VERDICT r4 item 8): graph build, anchor
+    # k-mer scan, band construction/smoothing, ms-fold + arg packing —
+    # the dominant wall cost of the megabase capability
+    prep = {"build_s": round(t_build - t0, 2),
+            "anchor_scan_s": round(
+                anch.PREP_TIMINGS.get("anchor_scan_s", 0.0), 2),
+            "band_smooth_s": round(
+                anch.PREP_TIMINGS.get("band_smooth_s", 0.0), 2),
+            "ms_fold_pack_s": round(t_pack - t_band, 2),
+            "total_s": round(t_pack - t0, 2)}
 
     def fill():
         return vpb.pallas_banded_fill(args["fscal"], args["iscal"],
@@ -313,7 +326,7 @@ def bench_megabase(rng, model, settings, on_tpu):
                     on_tpu, k1=1, k2=3)
     return dt * 1e3, (f"{N}bp pair, W={meta['S'] * meta['Wl']}, "
                       f"{in_band / dt / 1e9:.2f} in-band GCUPS, "
-                      f"host prep {prep_s:.0f}s")
+                      f"host prep {prep['total_s']:.0f}s"), prep
 
 
 def main():
@@ -372,9 +385,10 @@ def main():
         except Exception as e:
             secondary[name] = {"error": f"{e.__class__.__name__}: {e}"}
     try:
-        v, d = _with_timeout(budget, bench_megabase, rng, model,
-                             settings, on_tpu)
-        secondary["megabase_ms"] = {"ms": round(v, 1), "case": d}
+        v, d, prep = _with_timeout(budget, bench_megabase, rng, model,
+                                   settings, on_tpu)
+        secondary["megabase_ms"] = {"ms": round(v, 1), "case": d,
+                                    "prep_s": prep}
     except Exception as e:
         secondary["megabase_ms"] = {"error": f"{e.__class__.__name__}: {e}"}
 

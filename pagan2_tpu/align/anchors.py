@@ -473,6 +473,8 @@ def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
     """Full anchoring pipeline for two sequence graphs: hit discovery on
     ungapped strings, bound construction on gapped coordinates
     (viterbi_alignment.cpp:44-185; anchor-mode dispatch :64-83)."""
+    import time as _time
+    t0 = _time.perf_counter()
     u1 = graph_strings(left, False)
     u2 = graph_strings(right, False)
     if use_hmmer_anchors:
@@ -482,10 +484,14 @@ def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
     else:
         hits = find_kmer_anchors(u1, u2, k=kmer)
         hits = eliminate_bad_hits(hits, threshold_total, threshold_partly)
+    t1 = _time.perf_counter()
     g1 = graph_strings(left, True)
     g2 = graph_strings(right, True)
     upper, lower, blocks = define_tunnel(hits, g1, g2, width)
     cov = tunnel_coverage(upper, lower, len(g1), len(g2))
+    t2 = _time.perf_counter()
+    PREP_TIMINGS["anchor_scan_s"] = t1 - t0
+    PREP_TIMINGS["band_smooth_s"] = t2 - t1
     if R_PLOT_PREFIX is not None:
         from ..io.plots import write_anchors_for_R
         global _R_PLOT_COUNT
@@ -499,6 +505,12 @@ def define_tunnel_for_graphs(left, right, *, use_prefix_anchors=False,
 # tunnel definition also dumps its hits+bounds as <prefix>_<n>.r
 R_PLOT_PREFIX: str | None = None
 _R_PLOT_COUNT = 0
+
+# wall-seconds of the LAST define_tunnel_for_graphs call, split into
+# hit discovery (anchor_scan_s) and bound construction/smoothing
+# (band_smooth_s) — the megabase bench reports these so the dominant
+# host-prep cost is tracked per round (VERDICT r4 item 8)
+PREP_TIMINGS: dict = {}
 
 
 def set_r_plot_prefix(prefix: str | None):

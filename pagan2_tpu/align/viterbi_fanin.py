@@ -870,22 +870,29 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
             inp.pop("band_lower", None)
         args = stack_fanin([inp], Lp, Rp, KL, KR, G, W=W, ilo=ilo,
                            dtype=dtype)
-        fill = get_fanin_fill(KL, KR, G, W, OLm=inp["OL"], ORm=inp["OR"])
+        # offsets are static kernel-key dims like K: bucket them so
+        # the creep reuses compiled kernels (matches the pallas and
+        # executor batch paths)
+        fill = get_fanin_fill(KL, KR, G, W, OLm=_k_bucket(inp["OL"]),
+                              ORm=_k_bucket(inp["OR"]))
         bp, sM, sX, sY = fill(*args)
         from ..utils import fetch_np
         return (fetch_np(bp)[:, 0, :],
                 (fetch_np(sM)[0], fetch_np(sX)[0], fetch_np(sY)[0]),
                 ilo)
 
+    # the fill above packed M codes with stride = bucketed KR, so the
+    # decode must use the same KR (raw KR 5 -> bucket 6 would otherwise
+    # corrupt every backpointer past the first homopolymer site)
     bp, snaps, ilo = run(band)
     path, end = finish_fanin(inp, bp, snaps, ilo, left, right, model,
                              settings, left_branch_length,
-                             right_branch_length)
+                             right_branch_length, kr_decode=KR)
     if path is None and band is not None:
         bp, snaps, ilo = run(None)
         path, end = finish_fanin(inp, bp, snaps, ilo, left, right, model,
                                  settings, left_branch_length,
-                                 right_branch_length)
+                                 right_branch_length, kr_decode=KR)
     if path is None:
         raise RuntimeError("fan-in fill could not reach the end corner")
     return path, end

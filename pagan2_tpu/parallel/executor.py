@@ -32,7 +32,7 @@ from ..utils import log_out
 EXEC_STATS = {"launches": 0, "batched_jobs": 0, "single_jobs": 0,
               "batched_cells": 0, "fill_seconds": 0.0,
               "single_fills": 0, "shardband_fills": 0,
-              "fanin_batches": 0}
+              "fanin_batches": 0, "fanin_fp_batches": 0}
 
 # band-axis sharding threshold: a linear-chain pair whose left side has
 # at least this many sites (and no thin anchor band) is split over the
@@ -939,6 +939,7 @@ def _launch_fanin_fullprob_batch(jobs, idxs, results, Lp, Rp, mesh,
     bM, bX, bY, bcum = (fetch_np(bM), fetch_np(bX), fetch_np(bY),
                         fetch_np(bcum))
     EXEC_STATS["launches"] += 1
+    EXEC_STATS["fanin_fp_batches"] += 1
     EXEC_STATS["fill_seconds"] += time.perf_counter() - t_launch
     log_out("batched fan-in full-prob launch: %d jobs (bucket %dx%d "
             "K%d/%d G%d, %d shard%s)"

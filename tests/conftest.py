@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "e2e: CPU-scaled end-to-end bench secondaries (pileup, family, "
+        "megabase) run as tests so kernel-key changes cannot land "
+        "without driving the bench paths")

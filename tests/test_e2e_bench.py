@@ -1,0 +1,56 @@
+"""CPU-scaled end-to-end bench secondaries AS TESTS (VERDICT r4 item 4).
+
+The round-4 failure mode was "commit a kernel-key change, never run the
+bench path that exercises it": the suite was green while the canonical
+pileup crashed.  These tests run bench.py's three e2e secondaries —
+pileup, progressive family, megabase banded prep+fill — at CPU scale
+inside the suite, so the bench paths cannot be skipped.  Deselect with
+`-m "not e2e"` when iterating on something unrelated.
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+pytestmark = pytest.mark.e2e
+
+
+def test_bench_pileup_e2e_cpu():
+    from bench import bench_pileup_e2e
+    dt, desc = bench_pileup_e2e(on_tpu=False)
+    assert dt > 0 and "placed" in desc
+    # at CPU scale 4 of 6 synthetic reads clear the placement score
+    # threshold (pinned r5 behavior); a regression that crashes the
+    # backtrack or discards more reads fails here
+    import re
+    placed = int(re.search(r"(\d+) placed", desc).group(1))
+    assert placed >= 4, desc
+    assert "consensus" in desc and "consensus 0bp" not in desc, desc
+
+
+def test_bench_family_e2e_cpu():
+    from bench import bench_family_e2e
+    dt, desc = bench_family_e2e(on_tpu=False)
+    assert dt > 0 and "progressive family" in desc
+
+
+def test_bench_megabase_cpu():
+    import numpy as np
+    from bench import bench_megabase
+    from pagan2_tpu.align import viterbi_pallas_banded as vpb
+    from pagan2_tpu.models import ModelFactory, alphabets as alph
+    from pagan2_tpu.align import AlignSettings
+    model = ModelFactory(alph.DNA).alignment_model(0.2)
+    was = vpb.INTERPRET
+    try:
+        ms, desc, prep = bench_megabase(np.random.default_rng(0), model,
+                                        AlignSettings(), on_tpu=False)
+    finally:
+        vpb.INTERPRET = was
+    assert ms > 0 and "in-band" in desc
+    # the prep breakdown must be reported and account for the total
+    assert set(prep) == {"build_s", "anchor_scan_s", "band_smooth_s",
+                         "ms_fold_pack_s", "total_s"}
+    assert prep["total_s"] >= prep["build_s"]

@@ -347,3 +347,117 @@ def test_batched_beyond_cap_gather_core():
     assert EXEC_STATS["batched_jobs"] == 2, EXEC_STATS
     for (anc2, end), (spath, send) in zip(results, singles):
         assert end.score == pytest.approx(send.score, rel=1e-9)
+
+
+# ----------------------------------------------------------------------
+# K-creep bucketing parity: kernel keys are bucketed (_k_bucket /
+# _g_bucket) so a pileup root whose raw fan-in creeps up one edge at a
+# time reuses compiled kernels.  The fill then packs M backpointer
+# codes with stride = BUCKETED KR, so every decode must use the same
+# bucket (round-4 regression: the single-pair scan path decoded with
+# raw KR and corrupted backtracks whenever raw K was not a bucket
+# value — first at K=5).  These sweeps drive raw KL/KR 1..9 (and
+# OL+OR across _g_bucket boundaries, since O=K for homopolymer runs)
+# through ALL THREE fill paths and demand oracle-identical alignments.
+
+def _k_pair(k, seed=0):
+    """A graph pair whose left raw fan-in is exactly k (homopolymer
+    run of length k) aligned against a related partner."""
+    rng = np.random.default_rng(100 + 10 * k + seed)
+
+    def flank(n):
+        # run-free and never adjacent to the A-run, so the run of
+        # length k is the graph's only fan-in source
+        out, prev = [], "A"
+        for _ in range(n):
+            c = str(rng.choice([x for x in "CGT" if x != prev]))
+            out.append(c)
+            prev = c
+        return "".join(out)
+
+    pre, post = flank(8), flank(10)
+    s1 = pre + "A" * k + post
+    s2 = pre[:-1] + "A" * max(k - 1, 1) + post[1:]
+    g1 = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+    g2 = build_leaf_graph(s2, alph.DNA, homopolymer=True)
+    return g1, g2, s1, s2
+
+
+def test_k_creep_scan_core_sweep():
+    """Single-pair SCAN core (the CPU default and the TPU over-cap
+    fallback) across raw K = 1..9: bucketed fill + decode must match
+    the oracle exactly.  Reverting the kr_decode fix fails this at
+    K = 5 (bucket 6)."""
+    from pagan2_tpu.align.viterbi_fanin import _k_bucket
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    hit_nontrivial_bucket = 0
+    for k in range(1, 10):
+        g1, g2, s1, s2 = _k_pair(k)
+        KL, OL = fanin_stats(g1)
+        assert KL == k and OL == k
+        if _k_bucket(k) != k:
+            hit_nontrivial_bucket += 1
+        opath, oend = PairAligner(g1, g2, model, settings).align()
+        ga = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+        gb = build_leaf_graph(s2, alph.DNA, homopolymer=True)
+        fpath, fend = fanin_align_path(ga, gb, model, settings)
+        assert _sig(fpath) == _sig(opath), f"raw K={k}"
+        assert fend.score == pytest.approx(oend.score, rel=1e-9)
+    assert hit_nontrivial_bucket >= 3   # 5, 7, 9 exercise bucket != raw
+
+
+def test_k_creep_pallas_interpret_sweep():
+    """Single-pair PALLAS path (interpret mode) across raw K = 1..8:
+    same bucketed decode contract as the scan core."""
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    checked = []
+    for k in (2, 4, 5, 7, 8):     # 5, 7 are the non-bucket values
+        g1, g2, s1, s2 = _k_pair(k, seed=1)
+        inp = prepare_fanin(g1, g2, model, settings)
+        if not vpf.pallas_fanin_eligible([inp], 1, 32):
+            continue
+        opath, oend = PairAligner(g1, g2, model, settings).align()
+        ga = build_leaf_graph(s1, alph.DNA, homopolymer=True)
+        gb = build_leaf_graph(s2, alph.DNA, homopolymer=True)
+        vpf.INTERPRET = True
+        try:
+            ppath, pend = fanin_align_path(ga, gb, model, settings)
+        finally:
+            vpf.INTERPRET = False
+        assert _sig(ppath) == _sig(opath), f"raw K={k}"
+        assert pend.score == pytest.approx(oend.score, rel=1e-5)
+        checked.append(k)
+    # the non-bucket K=5 (bucket 6) must be exercised; larger K may
+    # fall off the pallas caps and take the scan core instead
+    assert 5 in checked and len(checked) >= 3, checked
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_k_creep_executor_batch(n_shards):
+    """Executor batch path (n_shards 1 and >1) with mixed raw K
+    including non-bucket values (5, 7): batched bucketed fills must
+    match per-job scan fills."""
+    import copy
+    import jax
+    from pagan2_tpu.parallel import executor
+    from pagan2_tpu.parallel.executor import execute_pair_jobs, PairJob
+    if n_shards > 1 and jax.device_count() < n_shards:
+        pytest.skip("needs the multi-device CPU mesh")
+    mf = ModelFactory(alph.DNA)
+    model = mf.alignment_model(0.3)
+    settings = AlignSettings()
+    jobs, singles = [], []
+    for k in (2, 5, 7, 5):
+        g1, g2, s1, s2 = _k_pair(k, seed=2)
+        jobs.append(PairJob(left=copy.deepcopy(g1),
+                            right=copy.deepcopy(g2), model=model,
+                            settings=settings))
+        singles.append(PairAligner(g1, g2, model, settings).align())
+    mesh = executor.make_jobs_mesh(n_shards) if n_shards > 1 else None
+    results = execute_pair_jobs(jobs, mesh=mesh)
+    for (anc, end), (opath, oend) in zip(results, singles):
+        assert end.score == pytest.approx(oend.score, rel=1e-6)

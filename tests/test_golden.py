@@ -281,3 +281,97 @@ def test_cli_golden_protein_deletion_and_substitution(tmp_path):
     out = _run_cli(tmp_path, ">a\nMKVLAW\n>b\nMKVIAW\n",
                    "(a:0.1,b:0.1);\n")
     assert out == ">a\nMKVLAW\n>b\nMKVIAW\n"
+
+
+def test_deep_homopolymer_skip_edge_score(model):
+    """Raw fan-in BEYOND the bucket boundary (K=5 -> _k_bucket 6), the
+    round-4 regression class: --homopolymer graph of GAAAAAT (run of
+    five As -> weight-0.25 skip edges from every earlier A into the T,
+    sequence.cpp:253-278; fan-in K=5) aligned to plain GAAAT.  The
+    winning path matches G,A,A,A,T and consumes the two extra As
+    through ONE skip edge (A3 -> T, log 0.25 ~ -1.39, beating two gap
+    cells at ~ lng+lgo+gend ~ -8), so
+      score = sum(2*lng + ms[c,c] for c in GAAAT)
+              + f32(log 0.25)        (skip-edge weight, match move)
+              + lng                  (end-corner match move)
+    and the MSA rows are hand-derived:
+      a: GAAAAAT
+      b: GAA--AT
+    A decode with the wrong KR stride (raw 5 vs bucket 6) corrupts the
+    backtrack here — this golden fails where oracle-parity tests
+    cannot (the oracle never sees the packed codes)."""
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats, _k_bucket
+    c = _consts(model)
+    skip_lw = float(np.float32(np.log(np.float64(0.25))))
+    expected = (sum(2 * c["lng"] + _ms(model, ch, ch) for ch in "GAAAT")
+                + skip_lw + c["lng"])
+    mkhp = lambda: build_leaf_graph(  # noqa: E731
+        "GAAAAAT", alph.DNA, homopolymer=True)
+    mk = lambda: build_leaf_graph("GAAAT", alph.DNA)  # noqa: E731
+    KL, OL = fanin_stats(mkhp())
+    assert KL == 5 and _k_bucket(KL) == 6          # raw K != bucket
+    for name, path, end in _engines_fanin(mkhp, mk, model):
+        tol = 1e-6 if name == "fanin-pallas" else 1e-9
+        assert end.score == pytest.approx(expected, rel=tol), name
+        real = [p for p in path if p.real_site]
+        pushed = [p for p in path if not p.real_site]
+        assert len(real) == 5, name
+        assert len(pushed) == 2, name
+        from pagan2_tpu.align.settings import M_MAT
+        assert all(p.mp.matrix == M_MAT for p in real), name
+
+
+def test_cli_golden_deep_homopolymer(tmp_path):
+    """The same K=5 skip-edge case end-to-end through the CLI with
+    --homopolymer: the extra As must come out as gap columns in the
+    partner row, not corrupt the backtrack."""
+    out = _run_cli(tmp_path,
+                   ">a\nCGTCGAAAAATGCATGC\n>b\nCGTCGAAATGCATGC\n",
+                   "(a:0.05,b:0.05);\n", "--homopolymer")
+    assert out == (">a\nCGTCGAAAAATGCATGC\n"
+                   ">b\nCGTCGAAA--TGCATGC\n")
+    # two-sided: a has a run of SIX As (K=6), b a run of FIVE (raw
+    # K=5 -> bucket 6) — the winning backtrack rides a left skip edge
+    # (kl >= 1), the geometry a raw-KR decode corrupts
+    out = _run_cli(tmp_path,
+                   ">a\nCGTCGAAAAAATGCATGC\n>b\nCGTCGAAAAATGCATGC\n",
+                   "(a:0.05,b:0.05);\n", "--homopolymer")
+    assert out == (">a\nCGTCGAAAAAATGCATGC\n"
+                   ">b\nCGTCGAAAAA-TGCATGC\n")
+
+
+def test_deep_homopolymer_two_sided_fanin_score(model):
+    """BOTH sides past-bucket fan-in — the exact round-4 decode
+    geometry: M backpointer codes are packed pair = kl*KR_bucket + kr,
+    and decoding with raw KR is only wrong when the winning cell has a
+    left-candidate index kl >= 1 AND raw KR != _k_bucket(KR).  Left =
+    --homopolymer GAAAAAAT (run 6, K=6 = bucket), right = GAAAAAT
+    (run 5, K=5 -> bucket 6): the winner matches G,A,A,A,A,A,T on the
+    right and consumes the left's extra A through one 0.25 skip edge
+    (a kl >= 1 candidate), so
+      score = sum(2*lng + ms[c,c] for c in GAAAAAT)
+              + f32(log 0.25) + lng
+    with one pushed cell.  Unfixed, this decodes divmod(kl*6, 5) and
+    produces a corrupt path (verified: mismatching backtrack at
+    HEAD~1-of-fix)."""
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats, _k_bucket
+    c = _consts(model)
+    skip_lw = float(np.float32(np.log(np.float64(0.25))))
+    expected = (sum(2 * c["lng"] + _ms(model, ch, ch)
+                    for ch in "GAAAAAT") + skip_lw + c["lng"])
+    mkl = lambda: build_leaf_graph(  # noqa: E731
+        "GAAAAAAT", alph.DNA, homopolymer=True)
+    mkr = lambda: build_leaf_graph(  # noqa: E731
+        "GAAAAAT", alph.DNA, homopolymer=True)
+    assert fanin_stats(mkl())[0] == 6
+    KR = fanin_stats(mkr())[0]
+    assert KR == 5 and _k_bucket(KR) == 6
+    for name, path, end in _engines_fanin(mkl, mkr, model):
+        tol = 1e-6 if name == "fanin-pallas" else 1e-9
+        assert end.score == pytest.approx(expected, rel=tol), name
+        real = [p for p in path if p.real_site]
+        pushed = [p for p in path if not p.real_site]
+        assert len(real) == 7, name
+        assert len(pushed) == 1, name
+        from pagan2_tpu.align.settings import M_MAT
+        assert all(p.mp.matrix == M_MAT for p in real), name

@@ -171,3 +171,40 @@ def test_placement_contigs_have_real_consensus():
     assert rows
     body = rows[0].sequence.replace("-", "").replace("n", "")
     assert body, "consensus must carry real bases"
+
+
+def test_deep_homopolymer_pileup_k5():
+    """454-style pileup whose template carries a run of FIVE As: with
+    --homopolymer the leaf graphs (and the accumulating root) have raw
+    fan-in K=5 — past the _k_bucket boundary (bucket 6) — driven
+    through align_pair's single-pair scan path.  The round-4 kr_decode
+    regression corrupted exactly this decode (the canonical
+    reference-README 454 demo, README.md:24-45); reads must stack,
+    nothing discarded, and the consensus must recover the template."""
+    tmpl = "CGTCGTACGAAAAATGCATGCTGACTGAC"
+    # the overcall read merges FIRST so the accumulating root carries
+    # the extra-A bridge (left-candidate index >= 1) before the run-5
+    # reads (right raw K=5, bucket 6) align — the two-sided geometry
+    # the raw-KR decode corrupts
+    reads = [FastaEntry(name="r0", sequence=tmpl),
+             FastaEntry(name="r3",
+                        sequence=tmpl.replace("AAAAA", "AAAAAA")),
+             FastaEntry(name="r1", sequence=tmpl[:22]),
+             FastaEntry(name="r2", sequence=tmpl[6:]),
+             FastaEntry(name="r4",
+                        sequence=tmpl.replace("AAAAA", "AAAA"))]
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats, _k_bucket
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph_
+    g = build_leaf_graph(tmpl, alph_.DNA, homopolymer=True)
+    assert fanin_stats(g)[0] >= 5 and _k_bucket(5) != 5
+    res = pileup_align(reads, config=PileupConfig(homopolymer=True,
+                                                  use_consensus=True))
+    assert res.discarded == []
+    lengths = {len(e.sequence) for e in res.alignment}
+    assert len(lengths) == 1
+    # consensus is coverage-thresholded at the tails and homopolymer
+    # skip edges let majority paths shorten the run; the well-covered
+    # core must survive with the run length within one of the template
+    core = res.consensus.replace("-", "")
+    assert "ACGAAAA" in core and "TGCATGCT" in core, res.consensus
