@@ -583,6 +583,16 @@ def shardband_fanin_align_path(left: SequenceGraph,
     G = _g_bucket(OLm + ORm)
     if KL > K_CAP or KR > K_CAP:
         raise ValueError("fan-in beyond the one-hot caps")
+    # halo budget: the fill refreshes cross-shard lanes every
+    # T = max(1, H // OLm) steps, which assumes one step consumes at
+    # most OLm <= H halo lanes; a bridge edge spanning more than H
+    # sites would read -inf/stale values PAST the refreshed halo and
+    # silently diverge from the unsharded fill.  The executor catches
+    # ValueError and routes such pairs to the single-device path.
+    if max(OLm, ORm) > H:
+        raise ValueError(
+            "bridge offset %d exceeds the %d-lane halo budget"
+            % (max(OLm, ORm), H))
     nf = inp["log_score"].shape[0]
     w = _lane_split(L, n_dev)
     Wt = w * n_dev

@@ -183,12 +183,16 @@ def _preselect_candidates(entry, cand, nodes_map, keep_best: int,
         got = cache.get(key)
         if got is None:
             s = "".join(nodes_map[nm].graph.unaligned_symbols()).upper()
-            got = [s[i:i + k] for i in range(len(s) - k + 1)]
+            # a SET so a k-mer repeated in the node counts once: list
+            # counting biased preselection toward repetitive /
+            # homopolymer-rich nodes relative to a shared-k-mer count
+            # (ADVICE r4)
+            got = {s[i:i + k] for i in range(len(s) - k + 1)}
             cache[key] = got
         return got
 
     def kmer_score(nm):
-        return sum(km in qk for km in node_kmers(nm))
+        return len(node_kmers(nm) & qk)
 
     scored = sorted(cand, key=kmer_score, reverse=True)
     return [nm for nm in cand if nm in set(scored[:keep_best])]

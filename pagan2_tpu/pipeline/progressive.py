@@ -194,6 +194,23 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
                      if leaf.name in seq_map else b"")
         h.update(tree.to_newick().encode())
         h.update(data_type.encode())
+        # alignment-relevant configuration (ADVICE r4): re-running the
+        # same input with different model/alignment settings against an
+        # existing directory must NOT silently load graphs computed
+        # under the old parameters
+        import dataclasses
+        import numpy as np
+        h.update(repr(sorted(
+            dataclasses.asdict(settings).items())).encode())
+        h.update(repr((engine, mode454, homopolymer,
+                       include_internal_nodes)).encode())
+        h.update(repr((np.asarray(model_factory.pi,
+                                  np.float64).tolist(),
+                       model_factory.indel,
+                       model_factory.score_scaling,
+                       model_factory.ambiguity_factor,
+                       model_factory.pileup_454,
+                       model_factory.mostcommon)).encode())
         fp = h.hexdigest()
         manifest = os.path.join(checkpoint_dir, "manifest.json")
         if os.path.exists(manifest):

@@ -231,6 +231,20 @@ def test_checkpoint_resume(tmp_path):
         align_progressive(make_entries(other), "(a:0.1,b:0.1);",
                           data_type="dna", checkpoint_dir=ck)
 
+    # ... and so must the SAME input under different alignment-relevant
+    # configuration (ADVICE r4: settings/model changes must not
+    # silently load graphs computed under the old parameters)
+    from dataclasses import replace
+    from pagan2_tpu.align import AlignSettings
+    with _pytest.raises(ValueError, match="different run"):
+        align_progressive(
+            make_entries(seqs), tree, data_type="dna",
+            checkpoint_dir=ck,
+            settings=replace(AlignSettings(), branch_skip_probability=0.5))
+    with _pytest.raises(ValueError, match="different run"):
+        align_progressive(make_entries(seqs), tree, data_type="dna",
+                          checkpoint_dir=ck, homopolymer=True)
+
 
 def test_graph_npz_roundtrip():
     """Full SequenceGraph serialization preserves everything the

@@ -283,3 +283,67 @@ def test_fanin_shardband_large_halo(model):
     assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
         [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
     assert end.score == pytest.approx(oend.score, rel=1e-12)
+
+
+def test_fanin_shardband_rejects_bridge_past_halo(model):
+    """A bridge edge spanning more sites than the halo budget H would
+    read stale/-inf values past the per-refresh halo and silently
+    diverge from the unsharded fill; the guard must raise ValueError
+    (the executor catches it and falls back to the single-device path)
+    instead of returning a wrong path (ADVICE r4 medium)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    from pagan2_tpu.align import align_pair
+    from pagan2_tpu.align.viterbi_shardband import (
+        shardband_fanin_align_path)
+    rng = np.random.default_rng(21)
+    base = "".join(rng.choice(list("ACGT"), size=240))
+    s2 = base[:80] + base[100:]      # 20-site deletion -> bridge o=21
+    g1 = build_leaf_graph(base, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    s = AlignSettings()
+    anc, _ = align_pair(g1, g2, model, s, use_anchors=False)
+    from pagan2_tpu.align.viterbi_fanin import fanin_stats
+    K, O = fanin_stats(anc)
+    assert O > 8                      # the bridge really spans > H=8
+    leaf = build_leaf_graph(base, alph.DNA)
+    mesh = _band_mesh(4)
+    with pytest.raises(ValueError, match="halo budget"):
+        shardband_fanin_align_path(anc, leaf, model, s, mesh, H=8)
+
+
+def test_executor_falls_back_when_bridge_exceeds_halo(model,
+                                                      monkeypatch):
+    """End-to-end: the executor routes a giant fan-in pair whose
+    bridge offset exceeds the halo budget through the UNSHARDED path
+    (ValueError fallback) with a correct result."""
+    from pagan2_tpu.parallel import executor
+    from pagan2_tpu.align import align_pair
+    from pagan2_tpu.align.viterbi_fanin import (fanin_align_path,
+                                                fanin_stats)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    monkeypatch.setattr(executor, "SHARDBAND_MIN_L", 128)
+    rng = np.random.default_rng(23)
+    base = "".join(rng.choice(list("ACGT"), size=300))
+    s2 = base[:100] + base[160:]     # 60-site deletion: o=61 > H=32
+    g1 = build_leaf_graph(base, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    s = AlignSettings()
+    anc, _ = align_pair(g1, g2, model, s, use_anchors=False)
+    import copy
+    anc2 = copy.deepcopy(anc)
+    K, O = fanin_stats(anc)
+    assert O > 32                    # past even the default halo
+    mesh = executor.make_jobs_mesh(4)
+    executor.reset_stats()
+    job = executor.PairJob(left=anc,
+                           right=build_leaf_graph(base, alph.DNA),
+                           model=model, settings=s)
+    (res,) = executor.execute_pair_jobs([job], mesh=mesh)
+    assert executor.EXEC_STATS["shardband_fills"] == 0, \
+        executor.EXEC_STATS
+    opath, oend = fanin_align_path(anc2,
+                                   build_leaf_graph(base, alph.DNA),
+                                   model, s)
+    assert res[1].score == pytest.approx(oend.score, rel=1e-9)
