@@ -235,8 +235,11 @@ def bench_pileup_e2e(on_tpu):
                                     use_consensus=True))
     dt = time.perf_counter() - t0
     placed = n_reads - len(res.discarded)
+    kk = executor.kernel_key_counts()
     return dt, (f"{n_reads}x{rlen}bp 454-style reads, {placed} placed, "
-                f"consensus {len(res.consensus or '')}bp")
+                f"consensus {len(res.consensus or '')}bp, "
+                f"{kk['fanin_scan']} scan + {kk['fanin_pallas']} pallas "
+                f"fanin kernel keys")
 
 
 def bench_family_e2e(on_tpu):
@@ -345,7 +348,8 @@ def main():
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          float(os.environ.get(
+                              "PAGAN2_JAX_CACHE_MIN_S", "1.0")))
     except Exception:
         pass
 

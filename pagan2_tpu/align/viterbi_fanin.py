@@ -506,6 +506,13 @@ def _build_core(KL: int, KR: int, G: int, W: int):
 
 _core_cache: dict = {}
 
+# distinct scan-core kernel keys built this process — the observable
+# the K/G/offset bucketing exists to minimize (each key is a separate
+# XLA compile; minutes each over the axon AOT service).  bench.py and
+# EXEC_STATS report len() so the compile-reuse win is measured, not
+# assumed (VERDICT r4 item 3).
+FILL_KEYS = _core_cache  # same dict; alias documents the metric
+
 
 def get_fanin_fill(KL: int, KR: int, G: int, W: int,
                    OLm: int | None = None, ORm: int | None = None):

@@ -531,6 +531,9 @@ def pallas_fanin_args(inputs: list[dict], Lp: int, Rp: int,
                  Bc=pick_chunk(B, Lp, OLm + ORm)))
 
 
+FILL_KEYS: set = set()
+
+
 def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
                      KL: int, KR: int):
     """Fill a bucket of fan-in jobs on the pallas kernel. Returns
@@ -552,6 +555,11 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
     target = -(-max(B_eff, B) // Bc) * Bc
     padded = inputs + [inputs[0]] * (target - B)
     args, meta = pallas_fanin_args(padded, Lp, Rp, KL, KR)
+    # distinct pallas kernel keys this process (same metric as the scan
+    # cores' FILL_KEYS): every static here is a separate Mosaic
+    # compile, minutes each on TPU
+    FILL_KEYS.add((Lp, Rp, KL, KR, meta["OLm"], meta["ORm"], meta["P"],
+                   Bc, meta["VL"], meta["VR"]))
     bp, sM, sX, sY = pallas_fanin_fill(
         args["fscal"], args["iscal"], args["loff"], args["llw"],
         args["pal"], args["vlo"], args["vhi"], args["ms"], args["rpk"],

@@ -817,7 +817,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", plat)
 
     # persistent XLA compilation cache: long-pair banded kernels take
-    # tens of seconds to compile; shapes are bucketed so reuse is high
+    # tens of seconds to compile; shapes are bucketed so reuse is high,
+    # so a SECOND fresh process on the same workload compiles ~nothing
+    # — the cold-start parity story vs the reference's pre-compiled
+    # binary (main.cpp:42).  Works on real TPU hosts and CPU; the
+    # axon tunnel's AOT compile service ignores it across processes
+    # (verified r4), so benchmarks there stay single-process.
+    # PAGAN2_JAX_CACHE_MIN_S=0 persists even sub-second compiles
+    # (tests use it to assert the second run is compile-free).
     try:
         import jax
         cache = os.environ.get(
@@ -826,7 +833,8 @@ def main(argv=None) -> int:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          float(os.environ.get(
+                              "PAGAN2_JAX_CACHE_MIN_S", "1.0")))
     except Exception:
         pass
 

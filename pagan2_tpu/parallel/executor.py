@@ -45,6 +45,17 @@ def reset_stats():
         EXEC_STATS[k] = 0
 
 
+def kernel_key_counts() -> dict:
+    """Distinct fan-in kernel keys compiled this process (scan cores +
+    pallas).  The K/G/offset bucketing exists to keep these flat as a
+    pileup root's fan-in creeps; bench.py reports them so the
+    compile-reuse win is measured, not assumed (VERDICT r4 item 3)."""
+    from ..align import viterbi_fanin as vf
+    from ..align import viterbi_pallas_fanin as vpf
+    return {"fanin_scan": len(vf.FILL_KEYS),
+            "fanin_pallas": len(vpf.FILL_KEYS)}
+
+
 @dataclass
 class PairJob:
     """One pairwise alignment job (a ready tree node, a placement
