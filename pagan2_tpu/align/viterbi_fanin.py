@@ -506,12 +506,14 @@ def _build_core(KL: int, KR: int, G: int, W: int):
 
 _core_cache: dict = {}
 
-# distinct scan-core kernel keys built this process — the observable
-# the K/G/offset bucketing exists to minimize (each key is a separate
-# XLA compile; minutes each over the axon AOT service).  bench.py and
-# EXEC_STATS report len() so the compile-reuse win is measured, not
-# assumed (VERDICT r4 item 3).
-FILL_KEYS = _core_cache  # same dict; alias documents the metric
+# distinct scan-core COMPILE keys this process: the static core key
+# PLUS every argument shape/dtype (one jitted wrapper retraces per
+# stacked batch/extent shape, so counting wrappers alone would
+# undercount real XLA compiles).  This is the observable the K/G/offset
+# bucketing exists to minimize (compiles are minutes each over the axon
+# AOT service); bench.py and EXEC_STATS report len() so the
+# compile-reuse win is measured, not assumed (VERDICT r4 item 3).
+FILL_KEYS: set = set()
 
 
 def get_fanin_fill(KL: int, KR: int, G: int, W: int,
@@ -526,7 +528,18 @@ def get_fanin_fill(KL: int, KR: int, G: int, W: int,
             core = _build_core_onehot(KL, KR, OLm, ORm, G, W)
         else:
             core = _build_core(KL, KR, G, W)
-        _core_cache[key] = jax.jit(core)
+        fn = jax.jit(core)
+
+        def counted(*args, _fn=fn, _key=key):
+            # .shape/.dtype attrs only — np.asarray would force a
+            # device->host transfer on sharded inputs
+            FILL_KEYS.add(_key + tuple(
+                (tuple(getattr(a, "shape", ())),
+                 str(getattr(a, "dtype", type(a).__name__)))
+                for a in args))
+            return _fn(*args)
+
+        _core_cache[key] = counted
     return _core_cache[key]
 
 

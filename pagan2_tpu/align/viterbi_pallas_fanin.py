@@ -556,10 +556,12 @@ def pallas_fanin_run(inputs: list[dict], Lp: int, Rp: int,
     padded = inputs + [inputs[0]] * (target - B)
     args, meta = pallas_fanin_args(padded, Lp, Rp, KL, KR)
     # distinct pallas kernel keys this process (same metric as the scan
-    # cores' FILL_KEYS): every static here is a separate Mosaic
-    # compile, minutes each on TPU
+    # cores' FILL_KEYS): every static AND the padded batch/diagonal
+    # array shapes — two launches differing only in padded batch size
+    # are separate Mosaic compiles
     FILL_KEYS.add((Lp, Rp, KL, KR, meta["OLm"], meta["ORm"], meta["P"],
-                   Bc, meta["VL"], meta["VR"]))
+                   Bc, meta["VL"], meta["VR"], target, meta["Dn"],
+                   tuple(args["ms"].shape)))
     bp, sM, sX, sY = pallas_fanin_fill(
         args["fscal"], args["iscal"], args["loff"], args["llw"],
         args["pal"], args["vlo"], args["vhi"], args["ms"], args["rpk"],

@@ -585,14 +585,17 @@ def shardband_fanin_align_path(left: SequenceGraph,
         raise ValueError("fan-in beyond the one-hot caps")
     # halo budget: the fill refreshes cross-shard lanes every
     # T = max(1, H // OLm) steps, which assumes one step consumes at
-    # most OLm <= H halo lanes; a bridge edge spanning more than H
-    # sites would read -inf/stale values PAST the refreshed halo and
-    # silently diverge from the unsharded fill.  The executor catches
-    # ValueError and routes such pairs to the single-device path.
-    if max(OLm, ORm) > H:
+    # most OLm <= H halo lanes; a LEFT bridge edge spanning more than
+    # H sites would read -inf/stale values PAST the refreshed halo and
+    # silently diverge from the unsharded fill.  Right offsets only
+    # select ring DEPTH (plane d-s-r) and the refresh transfers every
+    # ring plane's halo lanes, so ORm needs no lane budget.  The
+    # executor catches ValueError and routes such pairs to the
+    # single-device path.
+    if OLm > H:
         raise ValueError(
-            "bridge offset %d exceeds the %d-lane halo budget"
-            % (max(OLm, ORm), H))
+            "left bridge offset %d exceeds the %d-lane halo budget"
+            % (OLm, H))
     nf = inp["log_score"].shape[0]
     w = _lane_split(L, n_dev)
     Wt = w * n_dev

@@ -825,6 +825,9 @@ def main(argv=None) -> int:
     # (verified r4), so benchmarks there stay single-process.
     # PAGAN2_JAX_CACHE_MIN_S=0 persists even sub-second compiles
     # (tests use it to assert the second run is compile-free).
+    # parse outside the try: a malformed PAGAN2_JAX_CACHE_MIN_S must
+    # error loudly, not silently leave the threshold at its default
+    cache_min_s = float(os.environ.get("PAGAN2_JAX_CACHE_MIN_S", "1.0"))
     try:
         import jax
         cache = os.environ.get(
@@ -833,8 +836,7 @@ def main(argv=None) -> int:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          float(os.environ.get(
-                              "PAGAN2_JAX_CACHE_MIN_S", "1.0")))
+                          cache_min_s)
     except Exception:
         pass
 

@@ -204,6 +204,9 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
             dataclasses.asdict(settings).items())).encode())
         h.update(repr((engine, mode454, homopolymer,
                        include_internal_nodes)).encode())
+        # q encodes pi AND kappa/rho (HKY) — hashing pi alone would
+        # miss --dna-kappa/--dna-rho changes
+        h.update(np.asarray(model_factory.q, np.float64).tobytes())
         h.update(repr((np.asarray(model_factory.pi,
                                   np.float64).tolist(),
                        model_factory.indel,

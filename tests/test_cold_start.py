@@ -25,8 +25,9 @@ def _run_pileup(tmp_path, cache_dir, tag):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PAGAN2_JAX_CACHE=str(cache_dir),
                PAGAN2_JAX_CACHE_MIN_S="0",
-               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH",
-                                                         ""))
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))) + ":"
+               + os.environ.get("PYTHONPATH", ""))
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "pagan2_tpu", "--pileup",

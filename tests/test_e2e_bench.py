@@ -21,13 +21,11 @@ def test_bench_pileup_e2e_cpu():
     from bench import bench_pileup_e2e
     dt, desc = bench_pileup_e2e(on_tpu=False)
     assert dt > 0 and "placed" in desc
-    # at CPU scale 4 of 6 synthetic reads clear the placement score
-    # threshold (pinned r5 behavior); a regression that crashes the
-    # backtrack or discards more reads fails here
-    import re
-    placed = int(re.search(r"(\d+) placed", desc).group(1))
-    assert placed >= 4, desc
-    assert "consensus" in desc and "consensus 0bp" not in desc, desc
+    # amplicon-style reads all overlap the first read, so every read
+    # must place; a regression that crashes the backtrack or discards
+    # reads fails here
+    assert "6x96bp 454-style reads, 6 placed" in desc, desc
+    assert "consensus 0bp" not in desc, desc
 
 
 def test_bench_family_e2e_cpu():

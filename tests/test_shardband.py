@@ -347,3 +347,38 @@ def test_executor_falls_back_when_bridge_exceeds_halo(model,
                                    build_leaf_graph(base, alph.DNA),
                                    model, s)
     assert res[1].score == pytest.approx(oend.score, rel=1e-9)
+
+
+def test_fanin_shardband_right_bridge_past_halo_is_fine(model):
+    """Right-side bridge offsets select ring DEPTH, not lane
+    displacement, and the halo refresh transfers every ring plane's
+    edge lanes — so a RIGHT graph with a bridge wider than H must
+    still shard (no ValueError) and match the unsharded fill."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    from pagan2_tpu.align import align_pair
+    from pagan2_tpu.align.viterbi_shardband import (
+        shardband_fanin_align_path)
+    from pagan2_tpu.align.viterbi_fanin import (fanin_align_path,
+                                                fanin_stats)
+    rng = np.random.default_rng(29)
+    base = "".join(rng.choice(list("ACGT"), size=240))
+    s2 = base[:80] + base[92:]
+    g1 = build_leaf_graph(base, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    s = AlignSettings()
+    anc, _ = align_pair(g1, g2, model, s, use_anchors=False)
+    K, O = fanin_stats(anc)
+    assert O > 8                      # bridge wider than H=8
+    import copy
+    anc2 = copy.deepcopy(anc)
+    leaf = build_leaf_graph(base, alph.DNA)
+    mesh = _band_mesh(4)
+    # the WIDE-BRIDGE graph on the RIGHT: must shard fine with H=8
+    path, end = shardband_fanin_align_path(leaf, anc, model, s, mesh,
+                                           H=8)
+    opath, oend = fanin_align_path(build_leaf_graph(base, alph.DNA),
+                                   anc2, model, s)
+    assert [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in path] == \
+        [(p.mp.matrix, p.mp.x_ind, p.mp.y_ind) for p in opath]
+    assert end.score == pytest.approx(oend.score, rel=1e-12)
