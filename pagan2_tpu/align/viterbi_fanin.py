@@ -516,6 +516,35 @@ _core_cache: dict = {}
 FILL_KEYS: set = set()
 
 
+def host_scan_device():
+    """Device for scan-core fills that the accelerator cannot take
+    into the pallas kernel (over-cap deep fan-in: K > 8, offsets > 7 —
+    the canonical 454/homopolymer pileup root from the first read).
+
+    On accelerator backends the scan cores round-trip the O(G x W)
+    ring through device memory EVERY diagonal (~450 us/step on TPU
+    v5e, plus ~10 ms/dispatch over a tunneled link): a 500-site pair
+    costs ~10-25 s.  The same fill on the host CPU backend runs in
+    ~0.5-2 s, so over-cap fills are routed there when a CPU device is
+    available.  Returns None on the CPU backend (no-op) or when no CPU
+    device exists.
+
+    PAGAN2_HOST_SCAN=0 disables the offload: on a real (non-tunneled)
+    TPU host with a warm persistent compile cache the on-device scan
+    fill can win back (~0.45 s/fill at D=1000 vs ~1-2 s on one CPU
+    core); the default favors the tunneled/ cold-compile environment
+    where the device path costs minutes of AOT compiles."""
+    import os
+    if os.environ.get("PAGAN2_HOST_SCAN", "1") == "0":
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:  # pragma: no cover - cpu backend always exists
+        return None
+
+
 def get_fanin_fill(KL: int, KR: int, G: int, W: int,
                    OLm: int | None = None, ORm: int | None = None):
     """Jitted fill for the static shape key. When the max per-side
@@ -890,6 +919,12 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
             inp.pop("band_lower", None)
         args = stack_fanin([inp], Lp, Rp, KL, KR, G, W=W, ilo=ilo,
                            dtype=dtype)
+        # over-cap fills on accelerator backends run on the host CPU
+        # device (the scan ring round-trips device memory per diagonal
+        # — see host_scan_device)
+        hdev = host_scan_device()
+        if hdev is not None:
+            args = [jax.device_put(a, hdev) for a in args]
         # offsets are static kernel-key dims like K: bucket them so
         # the creep reuses compiled kernels (matches the pallas and
         # executor batch paths)

@@ -115,7 +115,14 @@ def pallas_fanin_eligible(inputs, B, Lp) -> bool:
 
 def _uniform_slots(offs: list[np.ndarray], K: int):
     """Per-slot offsets as a static tuple when every job draws slot k
-    from one offset value, else None. offs: per-job (N, k_j) arrays."""
+    from one offset value, else None. offs: per-job (N, k_j) arrays.
+
+    A slot with NO edges anywhere (the padded lanes K-bucketing adds,
+    or a genuinely empty trailing slot) gets the sentinel 0: the
+    kernel statically skips sentinel slots, so bucketing K up costs
+    zero candidate work instead of collapsing the whole launch to the
+    generic select chain (measured 3.3 -> 0.37 GCUPS cliff at
+    KL 7 -> 8 before the sentinel existed)."""
     vals = []
     for k in range(K):
         seen = set()
@@ -123,9 +130,9 @@ def _uniform_slots(offs: list[np.ndarray], K: int):
             if k < o.shape[1]:
                 nz = np.unique(o[:, k][o[:, k] > 0])
                 seen.update(int(v) for v in nz)
-        if len(seen) != 1:
+        if len(seen) > 1:
             return None
-        vals.append(seen.pop())
+        vals.append(seen.pop() if seen else 0)
     return tuple(vals)
 
 
@@ -192,8 +199,10 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         jt = d - lane                       # target column per lane
 
         # rolled ring views for gap moves: source (i-g, j) / depth g.
-        # Specialized launches only roll the depths actually used.
-        ldepths = sorted(set(VL)) if spec else range(1, OLm + 1)
+        # Specialized launches only roll the depths actually used
+        # (sentinel-0 slots are statically skipped).
+        ldepths = (sorted({v for v in VL if v > 0}) if spec
+                   else range(1, OLm + 1))
         RM = {g: pltpu.roll(pM[g - 1], g, axis=1) for g in ldepths}
         RX = {g: pltpu.roll(pX[g - 1], g, axis=1) for g in ldepths}
         RY = {g: pltpu.roll(pY[g - 1], g, axis=1) for g in ldepths}
@@ -231,6 +240,8 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         for k in range(KL):
             if spec:
                 v = VL[k]
+                if v == 0:        # padded/empty slot: no candidates
+                    continue
                 m = lmask[k]
                 gx = jnp.where(m, RX[v], neg)
                 gy = jnp.where(m, RY[v], neg)
@@ -256,6 +267,8 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         for k in range(KR):
             if spec:
                 r = VR[k]
+                if r == 0:        # padded/empty slot: no candidates
+                    continue
                 m = rmask[k]
                 gy = jnp.where(m, pY[r - 1], neg)
                 gx = jnp.where(m, pX[r - 1], neg)
@@ -285,7 +298,8 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         SX = {}
         SY = {}
         pairs = (sorted({(VL[kl], VL[kl] + VR[kr])
-                         for kl in range(KL) for kr in range(KR)})
+                         for kl in range(KL) for kr in range(KR)
+                         if VL[kl] > 0 and VR[kr] > 0})
                  if spec else
                  [(s, s + r) for s in range(1, OLm + 1)
                   for r in range(1, ORm + 1)])
@@ -299,6 +313,8 @@ def _kernel(TD, KL, KR, OLm, ORm, P, VL, VR,
         for kl in range(KL):
             for kr in range(KR):
                 if spec:
+                    if VL[kl] == 0 or VR[kr] == 0:
+                        continue  # padded/empty slot
                     s, q = VL[kl], VL[kl] + VR[kr]
                     mm = lmask[kl] & rmask[kr]
                     gm = jnp.where(mm, SM[(s, q)], neg)

@@ -704,6 +704,108 @@ def write_config_log(path, argv, cfg_args):
         f.write("\n".join(lines) + "\n")
 
 
+def handle_queries(args, res, data_type, mf, settings, dna_map):
+    """Align -q queries onto the finished alignment's root — the
+    reference runs Reads_aligner after ANY alignment, progressive
+    or reference-read (main.cpp:206-218); both CLI branches call
+    this."""
+    from .io.fasta import read_sequences
+    if args.queryfile and args.align_reads_at_root:
+        # reads_aligner.cpp:92: --align-reads-at-root uses the
+        # pileup path with the reference root as the start graph
+        from .pipeline.pileup import pileup_align, PileupConfig
+        queries = read_sequences(args.queryfile)
+        pcfg = PileupConfig(
+            both_strands=args.both_strands,
+            min_query_overlap=args.min_query_overlap,
+            min_query_identity=args.min_query_identity,
+            query_cluster_attempts=args.query_cluster_attempts,
+            query_distance=args.query_distance,
+            overlap_with_any=args.overlap_with_any,
+            use_consensus=(args.use_consensus or args.build_contigs
+                           or args.output_consensus),
+            consensus_minimum=args.consensus_minimum,
+            consensus_minimum_proportion=(
+                args.consensus_minimum_proportion),
+            engine=args.engine)
+        pres = pileup_align(queries, data_type, pcfg,
+                            model_factory=mf, settings=settings,
+                            root_node=res.tree)
+        from .pipeline.progressive import ProgressiveResult
+        res = ProgressiveResult(tree=pres.root,
+                                alignment=pres.alignment)
+        if not args.silent:
+            print(f"placed {len(queries) - len(pres.discarded)} "
+                  f"queries at root, {len(pres.discarded)} discarded")
+    elif args.queryfile:
+        from .pipeline.placement import place_queries, PlacementConfig
+        queries = read_sequences(args.queryfile)
+        if dna_map is not None:
+            from .io.translate import translate_entries
+            dna_map.update(
+                translate_entries(queries, mt=args.mt_translate))
+        cfg = PlacementConfig(
+            min_query_overlap=args.min_query_overlap,
+            min_query_identity=args.min_query_identity,
+            both_strands=args.both_strands,
+            terminal_nodes=args.terminal_nodes,
+            internal_nodes=args.internal_nodes,
+            all_nodes=args.all_nodes,
+            query_distance=args.query_distance,
+            overlap_with_any=args.overlap_with_any,
+            one_placement_only=args.one_placement_only,
+            align_bad_reads_at_root=args.align_bad_reads_at_root,
+            use_identity_score=args.use_identity_score,
+            use_target_normalised_score=args.use_target_normalised_score,
+            find_orfs=args.find_orfs,
+            min_orf_length=args.min_orf_length,
+            min_orf_coverage=args.min_orf_coverage,
+            mt=args.mt_translate,
+            exhaustive_placement=args.exhaustive_placement,
+            guided=args.guided or args.no_preselection,
+            score_only_ungapped=args.score_only_ungapped,
+            score_ungapped_limit=args.score_ungapped_limit,
+            assembly=args.assembly,
+            fragments=args.fragments,
+            rank_reads_for_nodes=args.rank_reads_for_nodes,
+            tid_for_subroot=args.tid_for_subroot,
+            score_as_dna=args.score_as_dna,
+            compute_consensus=(args.use_consensus or
+                               args.build_contigs or
+                               args.output_consensus),
+            # exonerate preselection equivalents
+            # (settings.cpp:355-380, :415-417)
+            preselect_keep_best=(
+                0 if args.own_placement else
+                1 if args.very_fast_placement else
+                5 if args.fast_placement else
+                (max(args.exonerate_local_keep_best, 0)
+                 if args.use_exonerate_local else 0)))
+        if cfg.score_as_dna and args.translate \
+                and not args.terminal_nodes:
+            # reads_aligner.cpp:2940: '--score-as-dna' with
+            # '--translate' requires '--terminal-nodes'
+            from .utils import log_out
+            log_out("combination '--translate' and '--score-as-dna' "
+                    "can only be used with option "
+                    "'--terminal-nodes'!\n", 0)
+            from dataclasses import replace as _replace
+            cfg = _replace(cfg, terminal_nodes=True,
+                           internal_nodes=False, all_nodes=False)
+        outcome = place_queries(res, queries, data_type, cfg,
+                                model_factory=mf, settings=settings,
+                                mesh=_make_mesh(args),
+                                dna_map=dna_map)
+        res = outcome.result
+        if args.output_discarded_queries and outcome.discarded:
+            from .io.fasta import write_fasta
+            write_fasta(outcome.discarded,
+                        f"{args.outfile}.discarded")
+        if not args.silent:
+            print(f"placed {len(outcome.placed)} queries, "
+                  f"{len(outcome.discarded)} discarded")
+    return res
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -928,100 +1030,8 @@ def main(argv=None) -> int:
             entries, ref_tree, data_type=data_type, settings=settings,
             model_factory=mf, quick=args.quick,
             perfect_reference=args.perfect_reference)
-        if args.queryfile and args.align_reads_at_root:
-            # reads_aligner.cpp:92: --align-reads-at-root uses the
-            # pileup path with the reference root as the start graph
-            from .pipeline.pileup import pileup_align, PileupConfig
-            queries = read_sequences(args.queryfile)
-            pcfg = PileupConfig(
-                both_strands=args.both_strands,
-                min_query_overlap=args.min_query_overlap,
-                min_query_identity=args.min_query_identity,
-                query_cluster_attempts=args.query_cluster_attempts,
-                query_distance=args.query_distance,
-                overlap_with_any=args.overlap_with_any,
-                use_consensus=(args.use_consensus or args.build_contigs
-                               or args.output_consensus),
-                consensus_minimum=args.consensus_minimum,
-                consensus_minimum_proportion=(
-                    args.consensus_minimum_proportion),
-                engine=args.engine)
-            pres = pileup_align(queries, data_type, pcfg,
-                                model_factory=mf, settings=settings,
-                                root_node=res.tree)
-            from .pipeline.progressive import ProgressiveResult
-            res = ProgressiveResult(tree=pres.root,
-                                    alignment=pres.alignment)
-            if not args.silent:
-                print(f"placed {len(queries) - len(pres.discarded)} "
-                      f"queries at root, {len(pres.discarded)} discarded")
-        elif args.queryfile:
-            from .pipeline.placement import place_queries, PlacementConfig
-            queries = read_sequences(args.queryfile)
-            if dna_map is not None:
-                from .io.translate import translate_entries
-                dna_map.update(
-                    translate_entries(queries, mt=args.mt_translate))
-            cfg = PlacementConfig(
-                min_query_overlap=args.min_query_overlap,
-                min_query_identity=args.min_query_identity,
-                both_strands=args.both_strands,
-                terminal_nodes=args.terminal_nodes,
-                internal_nodes=args.internal_nodes,
-                all_nodes=args.all_nodes,
-                query_distance=args.query_distance,
-                overlap_with_any=args.overlap_with_any,
-                one_placement_only=args.one_placement_only,
-                align_bad_reads_at_root=args.align_bad_reads_at_root,
-                use_identity_score=args.use_identity_score,
-                use_target_normalised_score=args.use_target_normalised_score,
-                find_orfs=args.find_orfs,
-                min_orf_length=args.min_orf_length,
-                min_orf_coverage=args.min_orf_coverage,
-                mt=args.mt_translate,
-                exhaustive_placement=args.exhaustive_placement,
-                guided=args.guided or args.no_preselection,
-                score_only_ungapped=args.score_only_ungapped,
-                score_ungapped_limit=args.score_ungapped_limit,
-                assembly=args.assembly,
-                fragments=args.fragments,
-                rank_reads_for_nodes=args.rank_reads_for_nodes,
-                tid_for_subroot=args.tid_for_subroot,
-                score_as_dna=args.score_as_dna,
-                compute_consensus=(args.use_consensus or
-                                   args.build_contigs or
-                                   args.output_consensus),
-                # exonerate preselection equivalents
-                # (settings.cpp:355-380, :415-417)
-                preselect_keep_best=(
-                    0 if args.own_placement else
-                    1 if args.very_fast_placement else
-                    5 if args.fast_placement else
-                    (max(args.exonerate_local_keep_best, 0)
-                     if args.use_exonerate_local else 0)))
-            if cfg.score_as_dna and args.translate \
-                    and not args.terminal_nodes:
-                # reads_aligner.cpp:2940: '--score-as-dna' with
-                # '--translate' requires '--terminal-nodes'
-                from .utils import log_out
-                log_out("combination '--translate' and '--score-as-dna' "
-                        "can only be used with option "
-                        "'--terminal-nodes'!\n", 0)
-                from dataclasses import replace as _replace
-                cfg = _replace(cfg, terminal_nodes=True,
-                               internal_nodes=False, all_nodes=False)
-            outcome = place_queries(res, queries, data_type, cfg,
-                                    model_factory=mf, settings=settings,
-                                    mesh=_make_mesh(args),
-                                    dna_map=dna_map)
-            res = outcome.result
-            if args.output_discarded_queries and outcome.discarded:
-                from .io.fasta import write_fasta
-                write_fasta(outcome.discarded,
-                            f"{args.outfile}.discarded")
-            if not args.silent:
-                print(f"placed {len(outcome.placed)} queries, "
-                      f"{len(outcome.discarded)} discarded")
+        res = handle_queries(args, res, data_type, mf, settings,
+                             dna_map)
         full = res.alignment
         if args.output_ancestors or args.events:
             from .pipeline.progressive import extract_alignment
@@ -1074,6 +1084,13 @@ def main(argv=None) -> int:
         mode454=args.mode454, homopolymer=args.homopolymer, mesh=mesh,
         checkpoint_dir=args.checkpoint_dir)
     _tick("alignment")
+
+    if args.queryfile:
+        # the reference aligns -q queries after ANY alignment
+        # (main.cpp:206-218), not only after --ref-seqfile
+        res = handle_queries(args, res, data_type, mf, settings,
+                             dna_map)
+        _tick("query placement")
 
     full = res.alignment
     if args.output_ancestors or args.events:

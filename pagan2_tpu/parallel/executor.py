@@ -649,6 +649,15 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
         # ilo_ext (arg 12) is the shared window schedule: replicate it
         args = [jax.device_put(a, spec) if k != 12 else a
                 for k, a in enumerate(args)]
+    else:
+        # pallas-ineligible single-shard batches (over-cap deep
+        # fan-in, oversized palettes) on accelerator backends run on
+        # the host CPU device: the scan ring round-trips device
+        # memory per diagonal (host_scan_device docstring)
+        from ..align.viterbi_fanin import host_scan_device
+        hdev = host_scan_device()
+        if hdev is not None:
+            args = [jax.device_put(a, hdev) for a in args]
     # offsets are static kernel-key dims like K: bucket them so the
     # creep (one homopolymer run at a time) reuses compiled kernels
     fill = get_fanin_fill(KL, KR, G, Lp,

@@ -152,3 +152,31 @@ class TestAncestors:
         seq = "".join(syms[g.states[j]] if 0 <= g.states[j] < 4 else "?"
                       for j in range(1, g.num_sites() - 1))
         assert seq == "ACGTACGT"
+
+
+def test_progressive_with_queryfile_places_queries(tmp_path):
+    """-s/-t + -q: the reference aligns queries onto the finished
+    progressive alignment's root (main.cpp:206-218) — the CLI must run
+    placement after ANY alignment, not only after --ref-seqfile
+    (round-5 gap: queries were silently ignored)."""
+    seqs = {"a": "ACGTACGTTGCAACGTGGTC", "b": "ACGTACGTTGCAACGTGGTC",
+            "c": "ACGTACTTGCAACGTGGTC", "d": "ACGTACGTTGCAACGTGGTC"}
+    fas = tmp_path / "in.fas"
+    write_fasta([FastaEntry(name=k, sequence=v)
+                 for k, v in seqs.items()], fas)
+    nh = tmp_path / "t.nh"
+    nh.write_text("((a:0.1,b:0.1):0.05,(c:0.1,d:0.1):0.05);")
+    q = tmp_path / "q.fas"
+    write_fasta([FastaEntry(name="q0",
+                            sequence="ACGTACGTTGCAACGTGGTC")], q)
+    out = tmp_path / "out"
+    rc = cli_main(["-s", str(fas), "-t", str(nh), "-q", str(q),
+                   "-o", str(out), "--silent", "--engine", "oracle",
+                   "--one-placement-only"])
+    assert rc == 0
+    got = read_fasta(str(out) + ".fas")
+    names = {e.name for e in got}
+    assert any(n.startswith("q0") for n in names), names
+    by = {e.name: e.sequence for e in got}
+    qrow = next(v for k, v in by.items() if k.startswith("q0"))
+    assert qrow.replace("-", "") == "ACGTACGTTGCAACGTGGTC"
