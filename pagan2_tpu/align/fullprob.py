@@ -410,20 +410,30 @@ class FullProbPlanes:
             return fM, fX, fY, fcum, bM, bX, bY, bcum
 
         # long bridges / deep fan-in: gather cores; the bwd pass
-        # iterates FWD edges, streamed in the same layouts
+        # iterates FWD edges, streamed in the same layouts.  On
+        # accelerator backends these over-cap scans run on the host
+        # CPU device like the Viterbi scan cores (the per-diagonal
+        # ring round-trips device memory; see
+        # viterbi_fanin.host_scan_device)
+        from .viterbi_fanin import host_scan_device
+        hdev = host_scan_device()
+
+        def dev(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, hdev) if hdev is not None else a
         G = OLm + ORm
         rfoff_rext, rfw_rext = fanin_rext(inp["rfoff"], inp["rfw"],
                                           inp["Lp"], inp["Rp"], F)
         fwd, bwd = _fanin_gather_fills(KL, KR, inp["KFL"], inp["KFR"],
                                        G)
         fM, fX, fY, fcum = fwd(
-            msp_sh, jnp.asarray(inp["loffp"]), jnp.asarray(inp["lwp"]),
-            jnp.asarray(roff_rext), jnp.asarray(rwp_rext), consts,
+            dev(msp_sh), dev(inp["loffp"]), dev(inp["lwp"]),
+            dev(roff_rext), dev(rwp_rext), dev(consts),
             jnp.int32(L), jnp.int32(R))
         bM, bX, bY, bcum = bwd(
-            msp_sh, jnp.asarray(inp["lfoff"]), jnp.asarray(inp["lfw"]),
-            jnp.asarray(rfoff_rext), jnp.asarray(rfw_rext), consts,
-            jnp.int32(L), jnp.int32(R), jnp.asarray(inp["seed_block"]))
+            dev(msp_sh), dev(inp["lfoff"]), dev(inp["lfw"]),
+            dev(rfoff_rext), dev(rfw_rext), dev(consts),
+            jnp.int32(L), jnp.int32(R), dev(inp["seed_block"]))
         return fM, fX, fY, fcum, bM, bX, bY, bcum
 
     def _fanin_corner_total(self):
