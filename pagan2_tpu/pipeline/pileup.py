@@ -37,6 +37,12 @@ class PileupConfig:
     use_fastq: bool = True            # not --no-fastq
     qscore_minimum: int = 10          # --qscore-minimum
     allow_skip_low_qscore: bool = False
+    # the reference anchors EVERY pair (node.cpp:87-152); the engine's
+    # global size gate (anchor_min_sites=3000) assumes cheap linear
+    # cells, but deep-fan-in scan cells are ~20x dearer, so read-vs-
+    # root alignments anchor from 200 sites (measured 3.5x e2e win,
+    # identical output)
+    anchor_reads_min_sites: int = 200
 
 
 @dataclass
@@ -146,6 +152,9 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
             model_factory = ModelFactory(data_type)
 
     settings = (settings or AlignSettings()).for_reads()
+    from dataclasses import replace as _replace
+    settings = _replace(settings,
+                        anchor_min_sites=config.anchor_reads_min_sites)
     gkw = dict(mode454=config.mode454, homopolymer=config.homopolymer)
 
     def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
@@ -296,6 +305,9 @@ def translated_pileup_align(reads: list[FastaEntry],
     if model_factory is None:
         model_factory = ModelFactory(alph.PROTEIN)
     settings = (settings or AlignSettings()).for_reads()
+    from dataclasses import replace as _replace
+    settings = _replace(settings,
+                        anchor_min_sites=config.anchor_reads_min_sites)
 
     def orf_leaf(name: str, orf) -> TreeNode:
         n = TreeNode(name=name, dist=config.query_distance)

@@ -208,3 +208,42 @@ def test_deep_homopolymer_pileup_k5():
     # core must survive with the run length within one of the template
     core = res.consensus.replace("-", "")
     assert "ACGAAAA" in core and "TGCATGCT" in core, res.consensus
+
+
+def test_banded_reads_match_unbanded():
+    """Read-vs-root alignments anchor from anchor_reads_min_sites=200
+    (the reference anchors every pair, node.cpp:87-152; measured 3.5x
+    e2e win) — the banded pileup must produce IDENTICAL rows to the
+    unbanded one."""
+    rng = np.random.default_rng(31)
+    parts, total = [], 0
+    while total < 230:
+        c = "ACGT"[int(rng.integers(0, 4))]
+        parts.append(c * int(rng.integers(1, 5)))
+        total += len(parts[-1])
+    genome = "".join(parts)
+    reads = []
+    for k in range(8):
+        start = int(rng.integers(0, len(genome) - 210))
+        r = []
+        for c in genome[start:start + 210]:
+            u = rng.random()
+            if u < 0.01:
+                r.append(c + c)
+            elif u < 0.02:
+                pass
+            else:
+                r.append(c)
+        reads.append(FastaEntry(f"r{k}", "".join(r)))
+
+    def rows(min_sites):
+        res = pileup_align(
+            reads, config=PileupConfig(homopolymer=True,
+                                       use_consensus=True,
+                                       anchor_reads_min_sites=min_sites))
+        return ({e.name: e.sequence for e in res.alignment},
+                res.consensus, res.discarded)
+
+    banded = rows(200)
+    unbanded = rows(10 ** 9)
+    assert banded == unbanded
