@@ -419,8 +419,11 @@ class FullProbPlanes:
         hdev = host_scan_device()
 
         def dev(a):
-            a = jnp.asarray(a)
-            return jax.device_put(a, hdev) if hdev is not None else a
+            # device_put the HOST value directly: jnp.asarray first
+            # would allocate on the accelerator and round-trip the
+            # (slow, tunneled) link before coming back
+            return (jax.device_put(a, hdev) if hdev is not None
+                    else jnp.asarray(a))
         G = OLm + ORm
         rfoff_rext, rfw_rext = fanin_rext(inp["rfoff"], inp["rfw"],
                                           inp["Lp"], inp["Rp"], F)

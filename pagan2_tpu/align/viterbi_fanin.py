@@ -516,10 +516,14 @@ _core_cache: dict = {}
 FILL_KEYS: set = set()
 
 
-def host_scan_device():
+def host_scan_device(overcap: bool = True):
     """Device for scan-core fills that the accelerator cannot take
     into the pallas kernel (over-cap deep fan-in: K > 8, offsets > 7 —
     the canonical 454/homopolymer pileup root from the first read).
+    Callers pass overcap=False for fills that are merely
+    pallas-ineligible (pair-end penalties, oversized palettes) but
+    within the one-hot caps — those stay on the accelerator by
+    default (PAGAN2_HOST_SCAN=all offloads them too).
 
     On accelerator backends the scan cores round-trip the O(G x W)
     ring through device memory EVERY diagonal (~450 us/step on TPU
@@ -535,7 +539,8 @@ def host_scan_device():
     core); the default favors the tunneled/ cold-compile environment
     where the device path costs minutes of AOT compiles."""
     import os
-    if os.environ.get("PAGAN2_HOST_SCAN", "1") == "0":
+    mode = os.environ.get("PAGAN2_HOST_SCAN", "1")
+    if mode == "0" or (not overcap and mode != "all"):
         return None
     if jax.default_backend() == "cpu":
         return None
@@ -560,9 +565,13 @@ def get_fanin_fill(KL: int, KR: int, G: int, W: int,
         fn = jax.jit(core)
 
         def counted(*args, _fn=fn, _key=key):
-            # .shape/.dtype attrs only — np.asarray would force a
-            # device->host transfer on sharded inputs
-            FILL_KEYS.add(_key + tuple(
+            # .shape/.dtype/.sharding attrs only — np.asarray would
+            # force a device->host transfer on sharded inputs.  The
+            # device/sharding token matters: the same shapes filled on
+            # the TPU, the host CPU device, and a jobs mesh are three
+            # separate XLA compiles
+            FILL_KEYS.add(_key + (str(getattr(
+                args[0], "sharding", "np")),) + tuple(
                 (tuple(getattr(a, "shape", ())),
                  str(getattr(a, "dtype", type(a).__name__)))
                 for a in args))
@@ -921,8 +930,11 @@ def fanin_align_path(left: SequenceGraph, right: SequenceGraph,
                            dtype=dtype)
         # over-cap fills on accelerator backends run on the host CPU
         # device (the scan ring round-trips device memory per diagonal
-        # — see host_scan_device)
-        hdev = host_scan_device()
+        # — see host_scan_device); merely pallas-ineligible fills
+        # within the one-hot caps stay on the accelerator
+        overcap = (KL > K_CAP or KR > K_CAP
+                   or _k_bucket(inp["OL"]) * _k_bucket(inp["OR"]) > 64)
+        hdev = host_scan_device(overcap)
         if hdev is not None:
             args = [jax.device_put(a, hdev) for a in args]
         # offsets are static kernel-key dims like K: bucket them so

@@ -650,12 +650,17 @@ def _fanin_batch_paths(jobs, idxs, Lp, Rp, mesh, n_shards, dtype):
         args = [jax.device_put(a, spec) if k != 12 else a
                 for k, a in enumerate(args)]
     else:
-        # pallas-ineligible single-shard batches (over-cap deep
-        # fan-in, oversized palettes) on accelerator backends run on
+        # over-cap single-shard batches on accelerator backends run on
         # the host CPU device: the scan ring round-trips device
-        # memory per diagonal (host_scan_device docstring)
-        from ..align.viterbi_fanin import host_scan_device
-        hdev = host_scan_device()
+        # memory per diagonal (host_scan_device docstring); merely
+        # pallas-ineligible batches within the one-hot caps stay on
+        # the accelerator unless PAGAN2_HOST_SCAN=all
+        from ..align.viterbi_fanin import (host_scan_device, K_CAP,
+                                           _k_bucket)
+        overcap = (KL > K_CAP or KR > K_CAP or
+                   _k_bucket(max(i["OL"] for i in inputs)) *
+                   _k_bucket(max(i["OR"] for i in inputs)) > 64)
+        hdev = host_scan_device(overcap)
         if hdev is not None:
             args = [jax.device_put(a, hdev) for a in args]
     # offsets are static kernel-key dims like K: bucket them so the

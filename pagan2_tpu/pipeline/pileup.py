@@ -153,8 +153,13 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
 
     settings = (settings or AlignSettings()).for_reads()
     from dataclasses import replace as _replace
-    settings = _replace(settings,
-                        anchor_min_sites=config.anchor_reads_min_sites)
+    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
+        # the reference anchors every pair; the engine's global size
+        # gate assumes cheap linear cells, so pileup lowers it — but
+        # only when the caller left the default (a customized
+        # AlignSettings value wins over the PileupConfig knob)
+        settings = _replace(
+            settings, anchor_min_sites=config.anchor_reads_min_sites)
     gkw = dict(mode454=config.mode454, homopolymer=config.homopolymer)
 
     def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
@@ -306,8 +311,13 @@ def translated_pileup_align(reads: list[FastaEntry],
         model_factory = ModelFactory(alph.PROTEIN)
     settings = (settings or AlignSettings()).for_reads()
     from dataclasses import replace as _replace
-    settings = _replace(settings,
-                        anchor_min_sites=config.anchor_reads_min_sites)
+    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
+        # the reference anchors every pair; the engine's global size
+        # gate assumes cheap linear cells, so pileup lowers it — but
+        # only when the caller left the default (a customized
+        # AlignSettings value wins over the PileupConfig knob)
+        settings = _replace(
+            settings, anchor_min_sites=config.anchor_reads_min_sites)
 
     def orf_leaf(name: str, orf) -> TreeNode:
         n = TreeNode(name=name, dist=config.query_distance)

@@ -224,8 +224,11 @@ def align_progressive(entries: list[FastaEntry], tree: TreeNode | str,
             if old != fp:
                 raise ValueError(
                     "checkpoint dir %r belongs to a different run "
-                    "(input/tree fingerprint mismatch); use one "
-                    "directory per run" % checkpoint_dir)
+                    "(input/tree/settings fingerprint mismatch — "
+                    "the fingerprint also covers model and alignment "
+                    "configuration, and its scheme can change between "
+                    "framework versions); use one directory per run"
+                    % checkpoint_dir)
         else:
             with open(manifest, "w") as f:
                 json.dump({"fingerprint": fp}, f)
