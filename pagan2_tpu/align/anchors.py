@@ -299,33 +299,35 @@ def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
         np.minimum.at(lowest, xs, np.maximum(ys, min_h))
         np.maximum.at(highest, xs, np.minimum(ys, max_h))
 
-    # monotone smoothing ("must not go zigzag")
-    prev_high = highest[0]
-    for i in range(l1 + 1):
-        if highest[i] > min_h:
-            if highest[i] < prev_high:
-                highest[i] = prev_high
-            prev_high = highest[i]
-    prev_low = lowest[l1]
-    for i in range(l1, -1, -1):
-        if lowest[i] < max_h:
-            if lowest[i] > prev_low:
-                lowest[i] = prev_low
-            prev_low = lowest[i]
+    # monotone smoothing ("must not go zigzag") — running extremum
+    # over the anchored entries only (vectorized: the old per-row
+    # Python loops cost seconds per megabase tunnel, the dominant
+    # band_smooth_s component)
+    mh = highest > min_h
+    if mh.any():
+        highest[mh] = np.maximum.accumulate(highest[mh])
+    ml = lowest < max_h
+    if ml.any():
+        lowest[ml] = np.minimum.accumulate(lowest[ml][::-1])[::-1]
 
-    # empty blocks (for --force-gap)
+    # empty blocks (for --force-gap): the per-row state machine only
+    # acts at anchored/empty transitions — iterate those indices only
     empty_blocks: list[TunnelBlock] = []
+    anch = highest >= min_h
+    starts = set((np.where(anch[:-1] & ~anch[1:])[0] + 1).tolist())
+    ends = set((np.where(anch[1:] & ~anch[:-1])[0] + 1).tolist())
+    events = sorted(starts | ends | ({l1} if not anch[l1] else set()))
     cur = TunnelBlock(0, 0, 0, 0)
-    for i in range(1, l1 + 1):
-        if highest[i - 1] >= min_h and highest[i] < min_h:
+    for i in events:
+        if i in starts:
             cur = TunnelBlock(i, int(highest[i - 1]), 0, 0)
-        elif highest[i] >= min_h and highest[i - 1] < min_h:
+        elif i in ends:
             if lowest[i] > cur.sy:
                 cur.ex = i
                 cur.ey = int(lowest[i])
                 if cur.size() > 10:
                     empty_blocks.append(cur)
-        elif i == l1 and highest[i] < min_h:
+        elif i == l1 and not anch[i]:
             if max_h > cur.sy:
                 cur.ex = i
                 cur.ey = max_h
@@ -333,17 +335,16 @@ def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
                     empty_blocks.append(cur)
     empty_blocks.sort(key=lambda b: -b.size())
 
-    # fill gaps
-    prev_low = min_h
-    for i in range(l1 + 1):
-        if lowest[i] >= max_h:
-            lowest[i] = prev_low
-        prev_low = lowest[i]
-    prev_high = max_h
-    for i in range(l1, -1, -1):
-        if highest[i] <= min_h:
-            highest[i] = prev_high
-        prev_high = highest[i]
+    # fill gaps (vectorized forward/backward fill)
+    valid = lowest < max_h
+    idx = np.maximum.accumulate(
+        np.where(valid, np.arange(l1 + 1), -1))
+    lowest = np.where(idx >= 0, lowest[np.clip(idx, 0, None)], min_h)
+    valid = highest > min_h
+    ridx = np.minimum.accumulate(
+        np.where(valid, np.arange(l1 + 1), l1 + 1)[::-1])[::-1]
+    highest = np.where(ridx <= l1, highest[np.clip(ridx, None, l1)],
+                       max_h)
 
     lowest[0] = min_h
     highest[l1] = max_h
@@ -352,14 +353,13 @@ def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
     highest = np.minimum(max_h, highest + width)
     lowest = np.maximum(min_h, lowest - width)
 
-    # widen on x (ensure thickness against steps)
-    overflow_high = []
-    for i in range(1, l1 + 1):
-        if (i + 1 > l1 or highest[i] == highest[i + 1]) and \
-                highest[i - 1] < highest[i] - 1:
-            overflow_high.append((i, True))
-        elif highest[i - 1] < highest[i] - 1:
-            overflow_high.append((i, False))
+    # widen on x (ensure thickness against steps): detection
+    # vectorized (overflow points ~ anchor count, not l1); the
+    # width-bounded widening loops below are unchanged
+    rise = np.where(highest[:-1] < highest[1:] - 1)[0] + 1
+    overflow_high = [
+        (int(i), bool(i == l1 or highest[i] == highest[i + 1]))
+        for i in rise]
     for (i, gapped) in overflow_high:
         if gapped:
             x = i - 1
@@ -372,13 +372,10 @@ def define_tunnel(hits: list[SubstringHit], s1_gapped: str, s2_gapped: str,
                 highest[x] = max(highest[x], highest[x + 1] - 1)
                 x -= 1
 
-    overflow_low = []
-    for i in range(l1 - 1, -1, -1):
-        if (i - 1 < 0 or lowest[i] == lowest[i - 1]) and \
-                lowest[i + 1] > lowest[i] + 1:
-            overflow_low.append((i, True))
-        elif lowest[i + 1] > lowest[i] + 1:
-            overflow_low.append((i, False))
+    drop = np.where(lowest[1:] > lowest[:-1] + 1)[0][::-1]
+    overflow_low = [
+        (int(i), bool(i == 0 or lowest[i] == lowest[i - 1]))
+        for i in drop]
     for (i, gapped) in overflow_low:
         if gapped:
             x = i + 1
@@ -413,11 +410,32 @@ def replace_largest_block_with_gap(upper, lower, empty_blocks,
     if blk.size() < threshold:
         return None
     empty_blocks.pop(0)
-    upper = upper.copy()
-    lower = lower.copy()
+    upper = np.asarray(upper, np.int64).copy()
+    lower = np.asarray(lower, np.int64).copy()
     for x in range(blk.sx, blk.ex + 1):
         upper[x] = max(upper[x], blk.sy)
         lower[x] = min(lower[x], max(blk.sy + 1, upper[x]))
+    # restore the monotone-diagonal invariant the windowed kernels'
+    # searchsorted schedule requires (A = i + upper and B = i + lower
+    # non-decreasing; band_windows docstring): the squeeze drops
+    # `lower` by the block width at the block's entry row and `upper`
+    # at its exit, which de-sorts A/B and silently masked genuinely
+    # in-band cells to -inf (dead-ending the banded fill into the full
+    # O(L*R) fallback --force-gap exists to prevent).  Repair by
+    # NARROWING: alignment paths are monotone in j, so once the band
+    # is pinched to the corridor [sy, sy+1], entry-row cells RIGHT of
+    # the corridor's diagonals (j > min later B) and exit-row cells
+    # LEFT of them (j < max earlier A) can never lie on a path that
+    # threads the corridor — trimming them is exact for linear chains
+    # (and consistent with the forced-gap approximation for graph
+    # pairs, whose small skip offsets could in principle hop a
+    # trimmed row).  Narrowing also only SHRINKS the memory the
+    # squeeze was invoked to save.
+    i = np.arange(len(upper), dtype=np.int64)
+    B = np.minimum.accumulate((lower + i)[::-1])[::-1]
+    A = np.maximum.accumulate(upper + i)
+    lower = B - i
+    upper = np.minimum(A - i, lower)
     return upper, lower
 
 

