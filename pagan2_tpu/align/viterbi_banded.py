@@ -30,13 +30,18 @@ NEG = -np.inf
 
 
 # ----------------------------------------------------------------------
-def band_windows(upper: np.ndarray, lower: np.ndarray, L: int, R: int):
-    """Per-diagonal window starts + max width from monotone bounds.
+def band_schedule(upper: np.ndarray, lower: np.ndarray, L: int, R: int):
+    """Per-diagonal window start ilo[d] and in-band width w[d] from
+    monotone tunnel bounds — THE shared schedule derivation (the
+    windowed scan cores and the banded pallas kernel both consume it;
+    two drifting copies hid the --force-gap monotonicity bug in r4).
 
-    A[i] = i + upper[i] and B[i] = i + lower[i] are strictly increasing,
-    so ilo(d) = first i with B[i] >= d and ihi(d) = last i with
-    A[i] <= d bound the contiguous in-band row range of diagonal d.
-    """
+    A[i] = i + upper[i] and B[i] = i + lower[i] are non-decreasing, so
+    ilo(d) = first i with B[i] >= d and ihi(d) = last i with A[i] <= d
+    bound the contiguous in-band row range of diagonal d.  Width comes
+    from the UNCLIPPED indices: clipping first would count rows whose
+    own band excludes the diagonal (a corner-cutting band must produce
+    w=0 there so the -inf corner triggers the fallback)."""
     upper = np.clip(np.asarray(upper[:L], np.int64), 0, R - 1)
     lower = np.clip(np.asarray(lower[:L], np.int64), 0, R - 1)
     i = np.arange(L, dtype=np.int64)
@@ -44,10 +49,18 @@ def band_windows(upper: np.ndarray, lower: np.ndarray, L: int, R: int):
     B = i + lower
     D = L + R - 1
     ds = np.arange(D, dtype=np.int64)
-    ilo = np.clip(np.searchsorted(B, ds, side="left"), 0, L - 1)
-    ihi = np.clip(np.searchsorted(A, ds, side="right") - 1, 0, L - 1)
-    width = int(np.max(ihi - ilo + 1))
-    return ilo.astype(np.int32), width
+    ilo_u = np.searchsorted(B, ds, side="left")
+    ihi_u = np.searchsorted(A, ds, side="right") - 1
+    w = np.maximum(ihi_u - ilo_u + 1, 0)
+    ilo = np.clip(ilo_u, 0, L - 1)
+    return ilo.astype(np.int32), w.astype(np.int32)
+
+
+def band_windows(upper: np.ndarray, lower: np.ndarray, L: int, R: int):
+    """(per-diagonal window starts, max width) for the windowed scan
+    cores — band_schedule with the width collapsed to its maximum."""
+    ilo, w = band_schedule(upper, lower, L, R)
+    return ilo, int(w.max()) if len(w) else 1
 
 
 # ----------------------------------------------------------------------

@@ -52,26 +52,6 @@ INTERPRET = False
 _TD = 16
 
 
-def _band_schedule(upper, lower, L, R):
-    """Per-diagonal window start ilo[d] and in-band width w[d] from the
-    monotone tunnel bounds (same clipping as band_windows)."""
-    upper = np.clip(np.asarray(upper[:L], np.int64), 0, R - 1)
-    lower = np.clip(np.asarray(lower[:L], np.int64), 0, R - 1)
-    i = np.arange(L, dtype=np.int64)
-    A = i + upper
-    B = i + lower
-    D = L + R - 1
-    ds = np.arange(D, dtype=np.int64)
-    # width from UNCLIPPED bounds: clipping ilo to L-1 would count rows
-    # whose own band excludes this diagonal (a corner-cutting band must
-    # produce w=0 there so the -inf corner triggers the fallback)
-    ilo_u = np.searchsorted(B, ds, side="left")
-    ihi_u = np.searchsorted(A, ds, side="right") - 1
-    w = np.maximum(ihi_u - ilo_u + 1, 0)
-    ilo = np.clip(ilo_u, 0, L - 1)
-    return ilo.astype(np.int32), w.astype(np.int32)
-
-
 def _wl_shape(W: int):
     """(S, Wl) tile covering window width W. S must be 1 or 8: Mosaic
     cannot lower a dynamic sublane rotate on sub-tile sublane counts
@@ -295,7 +275,8 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
                           with_ms=False)
     L, R = inp["L"], inp["R"]
     D = L + R - 1
-    ilo, w = _band_schedule(upper, lower, L, R)
+    from .viterbi_banded import band_schedule
+    ilo, w = band_schedule(upper, lower, L, R)
     S, Wl = _wl_shape(int(w.max()) if len(w) else 1)
     W = S * Wl
     Dn = D - 1                     # kernel fills d = 1 .. D-1

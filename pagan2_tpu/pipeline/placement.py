@@ -56,6 +56,11 @@ class PlacementConfig:
     # reads against every node — our native scoring never discards, so
     # only the tie rule applies)
     exhaustive_placement: bool = False
+    # the reference anchors EVERY pair (node.cpp:87-152); like the
+    # pileup's anchor_reads_min_sites, query-vs-node alignments anchor
+    # from 200 sites (deep-fan-in scan cells are ~20x dearer than the
+    # linear cells the global 3000 gate assumes)
+    anchor_reads_min_sites: int = 200
     # --guided / --no-preselection: restrict candidates to nodes whose
     # NHX TID tag matches the query's TID= comment (settings.cpp:421-425)
     guided: bool = False
@@ -605,6 +610,10 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     if model_factory is None:
         model_factory = ModelFactory(data_type)
     settings = (settings or AlignSettings()).for_reads()
+    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
+        from dataclasses import replace as _replace
+        settings = _replace(settings,
+                            anchor_min_sites=cfg.anchor_reads_min_sites)
 
     compare_reverse = cfg.both_strands and data_type == alph.DNA
     min_ov = max(cfg.min_query_overlap, 0.0)
@@ -731,6 +740,10 @@ def place_queries_grouped(res: ProgressiveResult,
     if model_factory is None:
         model_factory = ModelFactory(data_type)
     settings = (settings or AlignSettings()).for_reads()
+    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
+        from dataclasses import replace as _replace
+        settings = _replace(settings,
+                            anchor_min_sites=cfg.anchor_reads_min_sites)
 
     compare_reverse = cfg.both_strands and data_type == alph.DNA
     min_ov = max(cfg.min_query_overlap, 0.0)
