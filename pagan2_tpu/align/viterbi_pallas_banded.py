@@ -267,10 +267,86 @@ def pallas_banded_fill(fscal, iscal, sched, ms, TD=_TD):
 
 
 # ----------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _device_fold_fn(CH: int, W: int, nf: int):
+    """Jitted on-device band prep: the (Dpk, 8) schedule AND the
+    pre-folded in-band match-score stripe are computed on the device
+    from the O(L+R) sequence streams, so only ~16 MB crosses the
+    host->device link for a megabase pair instead of the ~1 GB folded
+    stripe (the dominant host-prep cost of the megabase story — the
+    reference instead re-reads sequences per cell inside its tunnel
+    fill, viterbi_alignment.cpp:1328-1436)."""
+
+    @jax.jit
+    def run(ls, rs, lw, rw, tflat, ilo_f, w_f, lng, Lm1, Rm1, Dn):
+        # ilo_f / w_f: [Dpc + 1] band start / width per diagonal,
+        # padded past the real D with ilo[-1] / 0. Output row k is
+        # diagonal d = k + 1 — exactly the host sched layout.
+        Dpc = ilo_f.shape[0] - 1
+        k = jnp.arange(Dpc, dtype=jnp.int32)
+        valid = k < Dn
+        ilo1 = ilo_f[1:]
+        ilo0 = ilo_f[:-1]
+        ilom2 = jnp.concatenate([ilo_f[:1], ilo_f[:-2]])
+        d1 = ilo1 - ilo0
+        w1 = jnp.where(valid, w_f[1:], 0)
+        z = jnp.zeros_like(k)
+        sched = jnp.stack(
+            [ilo1, w1,
+             jnp.where(valid, d1 - 1, 0),
+             jnp.where(valid, d1, 0),
+             jnp.where(valid, jnp.clip(ilo1 - ilom2 - 1, -W, W), 0),
+             z, z, z], axis=1)
+
+        tt = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+        def chunk(c):
+            ilo_c, w_c, d_c = c
+            rows = ilo_c[:, None] + tt
+            cols = d_c[:, None] - rows
+            rc = jnp.clip(rows, 0, Lm1)
+            cc = jnp.clip(cols, 0, Rm1)
+            code = ls[rc] * nf + rs[cc]
+            vals = tflat[code] + lw[rc] + rw[cc] + lng
+            return jnp.where(tt < w_c[:, None], vals, 0)
+
+        n = Dpc // CH
+        ms = jax.lax.map(chunk, (ilo1.reshape(n, CH), w1.reshape(n, CH),
+                                 (k + 1).reshape(n, CH)))
+        return sched, ms.reshape(Dpc, W)
+
+    return run
+
+
+def _device_fold(ls, rs, lw, rw, table, ilo, w, L, R, Dn, Dpk, W, S, Wl,
+                 lng, dtype):
+    """Run the on-device schedule + ms fold; returns device arrays
+    shaped exactly like the host path's sched / ms."""
+    CH = 1024
+    Dpc = -(-max(Dpk, CH) // CH) * CH
+    ilo_f = np.full(Dpc + 1, ilo[-1], np.int32)
+    ilo_f[:Dn + 1] = ilo
+    w_f = np.zeros(Dpc + 1, np.int32)
+    w_f[:Dn + 1] = w
+    tflat = np.ascontiguousarray(np.asarray(table, dtype)).ravel()
+    run = _device_fold_fn(CH, W, int(table.shape[1]))
+    sched_dev, ms_dev = run(
+        jnp.asarray(np.asarray(ls, np.int32)),
+        jnp.asarray(np.asarray(rs, np.int32)),
+        jnp.asarray(np.asarray(lw, dtype)),
+        jnp.asarray(np.asarray(rw, dtype)),
+        jnp.asarray(tflat), jnp.asarray(ilo_f), jnp.asarray(w_f),
+        dtype(lng), np.int32(L - 1), np.int32(R - 1), np.int32(Dn))
+    sched_dev = sched_dev[:Dpk]
+    ms_dev = ms_dev[:Dpk].reshape(Dpk, S, Wl)
+    return jax.block_until_ready((sched_dev, ms_dev))
+
+
 def pallas_banded_args(left, right, model, settings: AlignSettings,
                        upper, lower, dtype=np.float32):
     """Host prep: band schedule, scalars, and the pre-folded in-band
-    match-score stream (built in diagonal chunks — never O(L*R))."""
+    match-score stream (built in diagonal chunks — never O(L*R);
+    folded ON DEVICE for large pairs, see _device_fold_fn)."""
     inp = prepare_sheared(left, right, model, settings, dtype,
                           with_ms=False)
     L, R = inp["L"], inp["R"]
@@ -292,61 +368,78 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
     ilo_m2 = np.concatenate([[ilo[0]], ilo[:-2]])
     sched[:Dn, 4] = np.clip(ilo[1:] - ilo_m2 - 1, -W, W)  # sm
 
-    # pre-folded match scores gathered into the band stripe. Window
-    # rows/cols are CONTIGUOUS ranges per diagonal (rows ascending from
-    # ilo[d], cols descending from d - ilo[d]), so the per-cell 2D
-    # gathers become per-diagonal sliding-window copies plus one flat
-    # table lookup of the fused state-pair code — ~3x faster host prep
-    # on megabase pairs.
-    from numpy.lib.stride_tricks import sliding_window_view
+    # pre-folded match scores gathered into the band stripe.
     table = np.asarray(model.log_score, dtype)
     nf = table.shape[1]
-    tflat = np.ascontiguousarray(table).ravel()
     ls = np.asarray(left.states[:L], np.int32)
     rs = np.asarray(right.states[:R], np.int32)
     lw = np.asarray(inp["lw"], dtype)
     rw = np.asarray(inp["rw"], dtype)
     lng = dtype(inp["lng"])
 
-    # left-side padded windows: window[o] = ls[o : o + W]
-    lspad = np.zeros(L + W, np.int32)
-    lspad[:L] = ls
-    lwpad = np.zeros(L + W, dtype)
-    lwpad[:L] = lw
-    ls_win = sliding_window_view(lspad, W)
-    lw_win = sliding_window_view(lwpad, W)
-    # right-side reversed windows: rev_window[R - 1 - c0][t] = rs[c0 - t]
-    # (front/back padding absorbs diagonals whose column range pokes
-    # outside [0, R); those cells are masked by ok)
-    rspad = np.zeros(R + 2 * W, np.int32)
-    rspad[W:W + R] = rs[::-1]
-    rwpad = np.zeros(R + 2 * W, dtype)
-    rwpad[W:W + R] = rw[::-1]
-    rs_win = sliding_window_view(rspad, W)
-    rw_win = sliding_window_view(rwpad, W)
+    # device fold pays a jit compile but moves ~16 MB instead of the
+    # O(D*W) stripe; that trade only wins when host->device transfers
+    # are real (i.e. not the CPU backend, where device_put is memcpy)
+    import os
+    msfold = os.environ.get("PAGAN2_DEVICE_MSFOLD", "auto")
+    use_dev = (Dn * W >= (1 << 22) and msfold != "0"
+               and (msfold == "1"
+                    or jax.devices()[0].platform != "cpu"))
+    if use_dev:
+        # large pair: fold the stripe (and build the schedule) on the
+        # device — only the O(L+R) streams cross the link
+        sched_dev, ms_dev = _device_fold(ls, rs, lw, rw, table, ilo, w,
+                                         L, R, Dn, Dpk, W, S, Wl, lng,
+                                         dtype)
+    else:
+        # small pair (or opted out): host fold. Window rows/cols are
+        # CONTIGUOUS ranges per diagonal (rows ascending from ilo[d],
+        # cols descending from d - ilo[d]), so the per-cell 2D gathers
+        # become per-diagonal sliding-window copies plus one flat
+        # table lookup of the fused state-pair code.
+        from numpy.lib.stride_tricks import sliding_window_view
+        tflat = np.ascontiguousarray(table).ravel()
 
-    ms = np.zeros((Dpk, W), dtype)
-    from .. import native
-    folded = (dtype == np.float32 and
-              native.fold_banded_ms(ls, rs, lw, rw, table, ilo, w,
-                                    L, R, D, W, float(lng), ms))
-    if not folded:
-        tt = np.arange(W, dtype=np.int64)[None, :]
-        CH = max(1, (1 << 24) // W)
-        ds_all = np.arange(1, D, dtype=np.int64)
-        for c0 in range(1, D, CH):
-            c1 = min(c0 + CH, D)
-            dch = ds_all[c0 - 1:c1 - 1]
-            ilos = ilo[c0:c1].astype(np.int64)
-            ok = tt < w[c0:c1, None]
-            roff = np.clip(ilos, 0, L)
-            coff = np.clip(W + R - 1 - (dch - ilos), 0, R + W)
-            lsw = ls_win[roff]
-            rsw = rs_win[coff]
-            code = lsw * np.int64(nf) + rsw
-            vals = tflat[code] + lw_win[roff] + rw_win[coff] + lng
-            ms[c0 - 1:c1 - 1] = np.where(ok, vals, 0)
-    ms = ms.reshape(Dpk, S, Wl)
+        # left-side padded windows: window[o] = ls[o : o + W]
+        lspad = np.zeros(L + W, np.int32)
+        lspad[:L] = ls
+        lwpad = np.zeros(L + W, dtype)
+        lwpad[:L] = lw
+        ls_win = sliding_window_view(lspad, W)
+        lw_win = sliding_window_view(lwpad, W)
+        # right-side reversed windows: rev_window[R-1-c0][t] = rs[c0-t]
+        # (front/back padding absorbs diagonals whose column range
+        # pokes outside [0, R); those cells are masked by ok)
+        rspad = np.zeros(R + 2 * W, np.int32)
+        rspad[W:W + R] = rs[::-1]
+        rwpad = np.zeros(R + 2 * W, dtype)
+        rwpad[W:W + R] = rw[::-1]
+        rs_win = sliding_window_view(rspad, W)
+        rw_win = sliding_window_view(rwpad, W)
+
+        ms = np.zeros((Dpk, W), dtype)
+        from .. import native
+        folded = (dtype == np.float32 and
+                  native.fold_banded_ms(ls, rs, lw, rw, table, ilo, w,
+                                        L, R, D, W, float(lng), ms))
+        if not folded:
+            tt = np.arange(W, dtype=np.int64)[None, :]
+            CH = max(1, (1 << 24) // W)
+            ds_all = np.arange(1, D, dtype=np.int64)
+            for c0 in range(1, D, CH):
+                c1 = min(c0 + CH, D)
+                dch = ds_all[c0 - 1:c1 - 1]
+                ilos = ilo[c0:c1].astype(np.int64)
+                ok = tt < w[c0:c1, None]
+                roff = np.clip(ilos, 0, L)
+                coff = np.clip(W + R - 1 - (dch - ilos), 0, R + W)
+                lsw = ls_win[roff]
+                rsw = rs_win[coff]
+                code = lsw * np.int64(nf) + rsw
+                vals = tflat[code] + lw_win[roff] + rw_win[coff] + lng
+                ms[c0 - 1:c1 - 1] = np.where(ok, vals, 0)
+        sched_dev = jnp.asarray(sched)
+        ms_dev = jnp.asarray(ms.reshape(Dpk, S, Wl))
 
     brkx = settings.x_read1_length if settings.pair_end_reads else -2
     brky = settings.y_read1_length if settings.pair_end_reads else -2
@@ -370,7 +463,7 @@ def pallas_banded_args(left, right, model, settings: AlignSettings,
     iscal = np.array([[L, R, brkx, brky, cornerd, tcorner, 0, 0]],
                      np.int32)
     return (dict(fscal=jnp.asarray(fscal), iscal=jnp.asarray(iscal),
-                 sched_dev=jnp.asarray(sched), ms=jnp.asarray(ms)),
+                 sched_dev=sched_dev, ms=ms_dev),
             dict(inp=inp, ilo=ilo, w=w, sched=sched, S=S, Wl=Wl))
 
 
