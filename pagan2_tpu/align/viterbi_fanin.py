@@ -51,6 +51,26 @@ K_CAP = 8
 G_CAP = 64
 
 
+# anchoring gate for scan-core-bound fan-in pairs (the global
+# anchor_min_sites=3000 assumes cheap pallas/linear cells); matches
+# PileupConfig.anchor_reads_min_sites
+SCAN_ANCHOR_MIN_SITES = 200
+
+
+def scan_core_bound(KL: int, OL: int, KR: int, OR: int) -> bool:
+    """True when a fan-in pair with these stats cannot take the
+    specialized pallas kernel and will fill on the windowed gather
+    scan core (pallas_fanin_eligible's static caps: offsets are 4-bit
+    packed, right slots share one int32, packed-code fields are
+    8-bit).  Scan cells are ~20x dearer than pallas cells, so callers
+    use this to anchor such pairs from a much smaller size — the
+    reference anchors EVERY pair (node.cpp:87-152)."""
+    from .viterbi_pallas_fanin import OFF_CAP, K_CAP_R, _P_NONE
+    return (OL > OFF_CAP or OR > OFF_CAP or KR > K_CAP_R
+            or KL * KR * 3 >= _P_NONE or KL * 3 >= _P_NONE
+            or KR * 3 >= _P_NONE)
+
+
 def fanin_stats(g: SequenceGraph):
     """(max fan-in K, max bwd-edge offset) over sites 1..N-1 — the
     device-eligibility numbers for this graph."""

@@ -118,15 +118,22 @@ def _plan_job(job: PairJob):
         return "batch_fp" if linear else "fanin_fp"
     if s.pair_end_reads:
         return "single"
+    gate = s.anchor_min_sites
     if not linear:
-        from ..align.viterbi_fanin import fanin_stats, K_CAP, G_CAP
+        from ..align.viterbi_fanin import (fanin_stats, K_CAP, G_CAP,
+                                           scan_core_bound,
+                                           SCAN_ANCHOR_MIN_SITES)
         KL, OL = fanin_stats(job.left)
         KR, OR = fanin_stats(job.right)
         if KL > K_CAP or KR > K_CAP or OL + OR > G_CAP:
             return "single"
+        if scan_core_bound(KL, OL, KR, OR):
+            # pallas-ineligible pair: fills run on the ~20x-dearer
+            # windowed gather scan core, so anchor from a much
+            # smaller size (the reference anchors every pair)
+            gate = min(gate, SCAN_ANCHOR_MIN_SITES)
     if job.band is None and s.use_anchors and \
-            min(job.left.num_sites(), job.right.num_sites()) > \
-            s.anchor_min_sites:
+            min(job.left.num_sites(), job.right.num_sites()) > gate:
         job.band, job.skipped = plan_band(job.left, job.right, s)
         if job.skipped:
             return "skipped"
