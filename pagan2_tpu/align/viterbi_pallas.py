@@ -335,14 +335,15 @@ def pallas_align_path(left, right, model, settings: AlignSettings,
         li = inp["L"] - 1
         final = np.array([np.asarray(fM)[0, li], np.asarray(fX)[0, li],
                           np.asarray(fY)[0, li]])
-        return unpack_bp(bpp), final
+        # exact: packed values < 2^24
+        return np.asarray(bpp).astype(np.int32), final
 
     bp, final = run(band)
     if band is not None and not np.isfinite(final).any():
         bp, final = run(None)
 
     cells = _ShearedCells.__new__(_ShearedCells)
-    cells.bp = _OffsetBP(bp[:, 0, :])
+    cells.bp = _PackedBP(bp, 0)
     cells.left = left
     cells.right = right
     end = _end_corner_linear(final, left, right, model, inp["L"], inp["R"])
@@ -366,6 +367,31 @@ class _OffsetBP:
         if d == 0:
             return 0x3F
         return self._bp[d - 1, i]
+
+
+class _PackedBP:
+    """Lazy per-access decode of one job's PACKED bp plane — same
+    [d, i] indexing as _OffsetBP over unpack_bp's output, but backtrack
+    touches only O(L+R) cells, so materializing the 4x-unpacked
+    (Dpk, B, Lp) planes (unpack_bp: ~7 s of numpy per warm 8-job launch
+    at Lp=2048) is pure waste.  Decodes unpack_bp's layout exactly:
+    slot s of word g holds diagonal 4g+s+1's 6-bit code, x/m bits
+    (0-3) sit at the SOURCE lane i-1 (circular), y bits (4-5) at the
+    target lane."""
+
+    def __init__(self, v, b):
+        self._v = v                   # (Dpk//4, B, Lp) int32, host
+        self._b = b
+
+    def __getitem__(self, idx):
+        d, i = idx
+        if d == 0:
+            return 0x3F
+        g, slot = divmod(d - 1, 4)
+        sh = 6 * (3 - slot)
+        row = self._v[g, self._b]
+        return (((int(row[i - 1]) >> sh) & 15)
+                | ((int(row[i]) >> sh) & 48))
 
 
 def _add_scalar_params(inp):

@@ -499,8 +499,8 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
     import jax.numpy as jnp  # noqa: F401  (device context)
     from ..align.viterbi_pallas import (pallas_job_arrays,
                                         pallas_batch_args, pallas_fill,
-                                        unpack_bp, _add_scalar_params,
-                                        _lane_bucket, _OffsetBP)
+                                        _add_scalar_params,
+                                        _lane_bucket, _PackedBP)
     from ..align.viterbi_sheared import (prepare_sheared, _ShearedCells,
                                          _end_corner_linear)
     from ..align.viterbi_jax import _backtrack_arrays
@@ -536,7 +536,9 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
             pjobs.append(pjobs[0])
         args = pallas_batch_args(pjobs, Lpp, Rp)
         bpp, fM, fX, fY = pallas_fill(*args)
-        bp = unpack_bp(bpp)
+        # keep the bp plane PACKED: backtrack decodes the O(L+R) cells
+        # it touches lazily (_PackedBP); exact — packed values < 2^24
+        bp = np.asarray(bpp).astype(np.int32)
         fM, fX, fY = fetch_np(fM), fetch_np(fX), fetch_np(fY)
         EXEC_STATS["launches"] += 1
         EXEC_STATS["batched_jobs"] += len(part)
@@ -558,7 +560,7 @@ def _launch_pallas_linear_batch(jobs, idxs, results, Lp, Rp, engine):
                 results[i] = _run_single(job, engine)
                 continue
             cells = _ShearedCells.__new__(_ShearedCells)
-            cells.bp = _OffsetBP(bp[:, b, :])
+            cells.bp = _PackedBP(bp, b)
             cells.left = job.left
             cells.right = job.right
             end = _end_corner_linear(final, job.left, job.right,

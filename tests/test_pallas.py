@@ -250,3 +250,22 @@ def test_pallas_windowed_banded_fallback():
                                        dtype=np.float32)
     assert _path_states(path_b) == _path_states(path_f)
     assert end_b.score == pytest.approx(end_f.score, rel=1e-5)
+
+
+def test_packed_bp_matches_unpack():
+    """_PackedBP's lazy per-access decode must equal unpack_bp's
+    materialized planes for every (d, i) — including the circular
+    x/m source-lane wrap at i=0."""
+    import numpy as np
+    from pagan2_tpu.align.viterbi_pallas import unpack_bp, _PackedBP
+    rng = np.random.default_rng(0)
+    G, B, Lp = 5, 3, 16
+    v = rng.integers(0, 1 << 24, size=(G, B, Lp)).astype(np.float32)
+    full = unpack_bp(v)
+    packed = np.asarray(v).astype(np.int32)
+    for b in range(B):
+        view = _PackedBP(packed, b)
+        assert view[(0, 7)] == 0x3F
+        for d in range(1, G * 4 + 1):
+            for i in range(Lp):
+                assert view[(d, i)] == int(full[d - 1, b, i]), (d, i, b)
