@@ -290,19 +290,12 @@ def align_pair(left, right, model, settings=None, left_branch_length=0.0,
                 # open vectors (basic_alignment.h:633-676 semantics are
                 # engine-agnostic in the reference).
                 from .viterbi_fanin import (fanin_align_path,
-                                            fanin_stats,
-                                            scan_core_bound,
-                                            SCAN_ANCHOR_MIN_SITES)
+                                            effective_anchor_gate)
                 gate = anchor_min_sites
                 if band is None and use_anchors:
-                    KLs, OLs = fanin_stats(left)
-                    KRs, ORs = fanin_stats(right)
-                    if scan_core_bound(KLs, OLs, KRs, ORs):
-                        # pallas-ineligible pair: fills run on the
-                        # ~20x-dearer windowed gather scan core, so
-                        # anchor from a much smaller size (the
-                        # reference anchors every pair)
-                        gate = min(gate, SCAN_ANCHOR_MIN_SITES)
+                    # scan-core-bound pairs anchor from a much
+                    # smaller size (the reference anchors every pair)
+                    gate = effective_anchor_gate(left, right, gate)
                 if band is None and use_anchors and \
                         min(left.num_sites(), right.num_sites()) > \
                         gate:

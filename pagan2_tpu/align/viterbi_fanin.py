@@ -64,11 +64,35 @@ def scan_core_bound(KL: int, OL: int, KR: int, OR: int) -> bool:
     packed, right slots share one int32, packed-code fields are
     8-bit).  Scan cells are ~20x dearer than pallas cells, so callers
     use this to anchor such pairs from a much smaller size — the
-    reference anchors EVERY pair (node.cpp:87-152)."""
+    reference anchors EVERY pair (node.cpp:87-152).
+
+    Deliberately limited to the STATIC graph-shape caps: the dynamic
+    pallas rejections (edge-weight palette > P_CAP, pair-end inputs,
+    VMEM overflow) and the CPU backend's always-scan dispatch also
+    land on the scan core, but the anchoring decision must be a
+    function of the GRAPH alone so the same input produces the same
+    alignment on every backend and batch width (the multihost test
+    asserts byte-identical cross-process output)."""
     from .viterbi_pallas_fanin import OFF_CAP, K_CAP_R, _P_NONE
     return (OL > OFF_CAP or OR > OFF_CAP or KR > K_CAP_R
             or KL * KR * 3 >= _P_NONE or KL * 3 >= _P_NONE
             or KR * 3 >= _P_NONE)
+
+
+def effective_anchor_gate(left, right, gate: int) -> int:
+    """Per-pair anchoring size gate: `gate` (anchor_min_sites), lowered
+    to SCAN_ANCHOR_MIN_SITES when this fan-in pair is statically bound
+    to the scan core.  The fanin_stats walks are pure Python, so they
+    only run when the lowered gate could actually change the decision
+    (SCAN_ANCHOR_MIN_SITES < min(sites) <= gate)."""
+    n = min(left.num_sites(), right.num_sites())
+    if not (SCAN_ANCHOR_MIN_SITES < n <= gate):
+        return gate
+    KL, OL = fanin_stats(left)
+    KR, OR = fanin_stats(right)
+    if scan_core_bound(KL, OL, KR, OR):
+        return SCAN_ANCHOR_MIN_SITES
+    return gate
 
 
 def fanin_stats(g: SequenceGraph):

@@ -355,23 +355,10 @@ def pallas_align_path(left, right, model, settings: AlignSettings,
     return path, end
 
 
-class _OffsetBP:
-    """View of the pallas bp plane indexed like the sheared one:
-    [d, i] with d starting at 0 (row d-1 holds diagonal d)."""
-
-    def __init__(self, bp):
-        self._bp = bp
-
-    def __getitem__(self, idx):
-        d, i = idx
-        if d == 0:
-            return 0x3F
-        return self._bp[d - 1, i]
-
-
 class _PackedBP:
-    """Lazy per-access decode of one job's PACKED bp plane — same
-    [d, i] indexing as _OffsetBP over unpack_bp's output, but backtrack
+    """Lazy per-access decode of one job's PACKED bp plane — [d, i]
+    indexing over unpack_bp's layout (row d-1 holds diagonal d, d=0
+    answers the 0x3F no-predecessor sentinel), but backtrack
     touches only O(L+R) cells, so materializing the 4x-unpacked
     (Dpk, B, Lp) planes (unpack_bp: ~7 s of numpy per warm 8-job launch
     at Lp=2048) is pure waste.  Decodes unpack_bp's layout exactly:

@@ -329,12 +329,23 @@ def _device_fold(ls, rs, lw, rw, table, ilo, w, L, R, Dn, Dpk, W, S, Wl,
     w_f = np.zeros(Dpc + 1, np.int32)
     w_f[:Dn + 1] = w
     tflat = np.ascontiguousarray(np.asarray(table, dtype)).ravel()
+    # stream shapes are part of the jit key: bucket them (~6%
+    # granularity, _dbucket) so nearby pair sizes reuse one compile;
+    # gather indices clip to the REAL L-1/R-1 scalars, so the padding
+    # is never read
+    Lb, Rb = _dbucket(L), _dbucket(R)
+    ls_p = np.zeros(Lb, np.int32)
+    ls_p[:L] = ls
+    rs_p = np.zeros(Rb, np.int32)
+    rs_p[:R] = rs
+    lw_p = np.zeros(Lb, dtype)
+    lw_p[:L] = lw
+    rw_p = np.zeros(Rb, dtype)
+    rw_p[:R] = rw
     run = _device_fold_fn(CH, W, int(table.shape[1]))
     sched_dev, ms_dev = run(
-        jnp.asarray(np.asarray(ls, np.int32)),
-        jnp.asarray(np.asarray(rs, np.int32)),
-        jnp.asarray(np.asarray(lw, dtype)),
-        jnp.asarray(np.asarray(rw, dtype)),
+        jnp.asarray(ls_p), jnp.asarray(rs_p),
+        jnp.asarray(lw_p), jnp.asarray(rw_p),
         jnp.asarray(tflat), jnp.asarray(ilo_f), jnp.asarray(w_f),
         dtype(lng), np.int32(L - 1), np.int32(R - 1), np.int32(Dn))
     sched_dev = sched_dev[:Dpk]
