@@ -387,8 +387,6 @@ class FullProbPlanes:
         L, R = self.L, self.R
         inp = fanin_fullprob_inputs(self.left, self.right, self.model,
                                     dtype)
-        msp_sh = jnp.asarray(inp["msp_sh"])
-        consts = jnp.asarray(inp["consts"])
         KL, KR = inp["KL"], inp["KR"]
         OLm, ORm = inp["OLm"], inp["ORm"]
         F = max(8, ORm)
@@ -400,10 +398,12 @@ class FullProbPlanes:
             # one-hot cores (they compile KL*KR*OLm*ORm selects, so
             # deep fan-in routes to the gather cores below instead)
             fwd, bwd = _fanin_fills(KL, KR, OLm, ORm)
-            args = (msp_sh, jnp.asarray(inp["loffp"]),
+            args = (jnp.asarray(inp["msp_sh"]),
+                    jnp.asarray(inp["loffp"]),
                     jnp.asarray(inp["lwp"]),
                     jnp.asarray(roff_rext), jnp.asarray(rwp_rext),
-                    consts, jnp.int32(L), jnp.int32(R))
+                    jnp.asarray(inp["consts"]),
+                    jnp.int32(L), jnp.int32(R))
             fM, fX, fY, fcum = fwd(*args)
             bM, bX, bY, bcum = bwd(*args,
                                    jnp.asarray(inp["seed_block"]))
@@ -429,13 +429,19 @@ class FullProbPlanes:
                                           inp["Lp"], inp["Rp"], F)
         fwd, bwd = _fanin_gather_fills(KL, KR, inp["KFL"], inp["KFR"],
                                        G)
+        # dev() the HOST arrays from inp directly — converting msp_sh/
+        # consts with jnp.asarray before the branch would allocate the
+        # dominant (D, Lp) plane on the accelerator and round-trip the
+        # tunneled link twice per fill
+        msp_dev = dev(inp["msp_sh"])
+        consts_dev = dev(inp["consts"])
         fM, fX, fY, fcum = fwd(
-            dev(msp_sh), dev(inp["loffp"]), dev(inp["lwp"]),
-            dev(roff_rext), dev(rwp_rext), dev(consts),
+            msp_dev, dev(inp["loffp"]), dev(inp["lwp"]),
+            dev(roff_rext), dev(rwp_rext), consts_dev,
             jnp.int32(L), jnp.int32(R))
         bM, bX, bY, bcum = bwd(
-            dev(msp_sh), dev(inp["lfoff"]), dev(inp["lfw"]),
-            dev(rfoff_rext), dev(rfw_rext), dev(consts),
+            msp_dev, dev(inp["lfoff"]), dev(inp["lfw"]),
+            dev(rfoff_rext), dev(rfw_rext), consts_dev,
             jnp.int32(L), jnp.int32(R), dev(inp["seed_block"]))
         return fM, fX, fY, fcum, bM, bX, bY, bcum
 

@@ -83,6 +83,18 @@ class AlignSettings:
                        branch_skip_weight=1.0,
                        branch_skip_probability=1.0)
 
+    def with_reads_anchor_gate(self, gate: int) -> "AlignSettings":
+        """Lower the anchoring size gate for read-vs-graph alignments
+        (pileup / placement): the reference anchors EVERY pair
+        (node.cpp:87-152) and the engine's global anchor_min_sites
+        default assumes cheap linear cells, but read-vs-root fills hit
+        deep-fan-in scan cells ~20x dearer. Applied only when the
+        caller left the default — an explicit user AlignSettings value
+        wins over the pipeline's gate."""
+        if self.anchor_min_sites == AlignSettings().anchor_min_sites:
+            return replace(self, anchor_min_sites=gate)
+        return self
+
 
 # DP matrix ids (basic_alignment.h enum)
 X_MAT = 0

@@ -704,7 +704,8 @@ def write_config_log(path, argv, cfg_args):
         f.write("\n".join(lines) + "\n")
 
 
-def handle_queries(args, res, data_type, mf, settings, dna_map):
+def handle_queries(args, res, data_type, mf, settings, dna_map,
+                   mesh=None):
     """Align -q queries onto the finished alignment's root — the
     reference runs Reads_aligner after ANY alignment, progressive
     or reference-read (main.cpp:206-218); both CLI branches call
@@ -794,7 +795,7 @@ def handle_queries(args, res, data_type, mf, settings, dna_map):
                            internal_nodes=False, all_nodes=False)
         outcome = place_queries(res, queries, data_type, cfg,
                                 model_factory=mf, settings=settings,
-                                mesh=_make_mesh(args),
+                                mesh=mesh,
                                 dna_map=dna_map)
         res = outcome.result
         if args.output_discarded_queries and outcome.discarded:
@@ -1031,7 +1032,7 @@ def main(argv=None) -> int:
             model_factory=mf, quick=args.quick,
             perfect_reference=args.perfect_reference)
         res = handle_queries(args, res, data_type, mf, settings,
-                             dna_map)
+                             dna_map, mesh=_make_mesh(args))
         full = res.alignment
         if args.output_ancestors or args.events:
             from .pipeline.progressive import extract_alignment
@@ -1089,7 +1090,7 @@ def main(argv=None) -> int:
         # the reference aligns -q queries after ANY alignment
         # (main.cpp:206-218), not only after --ref-seqfile
         res = handle_queries(args, res, data_type, mf, settings,
-                             dna_map)
+                             dna_map, mesh=mesh)
         _tick("query placement")
 
     full = res.alignment

@@ -151,15 +151,8 @@ def pileup_align(reads: list[FastaEntry], data_type: str | None = None,
         else:
             model_factory = ModelFactory(data_type)
 
-    settings = (settings or AlignSettings()).for_reads()
-    from dataclasses import replace as _replace
-    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
-        # the reference anchors every pair; the engine's global size
-        # gate assumes cheap linear cells, so pileup lowers it — but
-        # only when the caller left the default (a customized
-        # AlignSettings value wins over the PileupConfig knob)
-        settings = _replace(
-            settings, anchor_min_sites=config.anchor_reads_min_sites)
+    settings = (settings or AlignSettings()).for_reads() \
+        .with_reads_anchor_gate(config.anchor_reads_min_sites)
     gkw = dict(mode454=config.mode454, homopolymer=config.homopolymer)
 
     def leaf(read: FastaEntry, turn_rc=False) -> TreeNode:
@@ -309,15 +302,8 @@ def translated_pileup_align(reads: list[FastaEntry],
     config = config or PileupConfig()
     if model_factory is None:
         model_factory = ModelFactory(alph.PROTEIN)
-    settings = (settings or AlignSettings()).for_reads()
-    from dataclasses import replace as _replace
-    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
-        # the reference anchors every pair; the engine's global size
-        # gate assumes cheap linear cells, so pileup lowers it — but
-        # only when the caller left the default (a customized
-        # AlignSettings value wins over the PileupConfig knob)
-        settings = _replace(
-            settings, anchor_min_sites=config.anchor_reads_min_sites)
+    settings = (settings or AlignSettings()).for_reads() \
+        .with_reads_anchor_gate(config.anchor_reads_min_sites)
 
     def orf_leaf(name: str, orf) -> TreeNode:
         n = TreeNode(name=name, dist=config.query_distance)

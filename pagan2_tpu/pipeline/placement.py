@@ -609,11 +609,8 @@ def place_queries(res: ProgressiveResult, queries: list[FastaEntry],
     tree = res.tree
     if model_factory is None:
         model_factory = ModelFactory(data_type)
-    settings = (settings or AlignSettings()).for_reads()
-    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
-        from dataclasses import replace as _replace
-        settings = _replace(settings,
-                            anchor_min_sites=cfg.anchor_reads_min_sites)
+    settings = (settings or AlignSettings()).for_reads() \
+        .with_reads_anchor_gate(cfg.anchor_reads_min_sites)
 
     compare_reverse = cfg.both_strands and data_type == alph.DNA
     min_ov = max(cfg.min_query_overlap, 0.0)
@@ -739,11 +736,8 @@ def place_queries_grouped(res: ProgressiveResult,
     tree = res.tree
     if model_factory is None:
         model_factory = ModelFactory(data_type)
-    settings = (settings or AlignSettings()).for_reads()
-    if settings.anchor_min_sites == AlignSettings().anchor_min_sites:
-        from dataclasses import replace as _replace
-        settings = _replace(settings,
-                            anchor_min_sites=cfg.anchor_reads_min_sites)
+    settings = (settings or AlignSettings()).for_reads() \
+        .with_reads_anchor_gate(cfg.anchor_reads_min_sites)
 
     compare_reverse = cfg.both_strands and data_type == alph.DNA
     min_ov = max(cfg.min_query_overlap, 0.0)
