@@ -324,3 +324,41 @@ def test_force_gap_band_stays_monotone_and_covered():
         for j in (up[x], (up[x] + lo[x]) // 2, lo[x]):
             d = x + j
             assert ilo[d] <= x < ilo[d] + W, (x, j, d, ilo[d], W)
+
+
+def test_with_reads_anchor_gate_respects_explicit_value():
+    """The pipeline anchor-gate override only fires when the caller
+    left anchor_min_sites at its default: an explicit user value —
+    even one EQUAL to the pipeline gate — must win, and the default
+    must be replaced by the pipeline's gate."""
+    from dataclasses import replace
+    from pagan2_tpu.align.settings import AlignSettings
+    s = AlignSettings()
+    assert s.with_reads_anchor_gate(200).anchor_min_sites == 200
+    custom = replace(s, anchor_min_sites=1234)
+    assert custom.with_reads_anchor_gate(200).anchor_min_sites == 1234
+    # idempotent under composition with for_reads (the call order the
+    # pileup/placement pipelines use)
+    assert s.for_reads().with_reads_anchor_gate(
+        200).anchor_min_sites == 200
+
+
+def test_effective_anchor_gate_guards_stats_walk():
+    """effective_anchor_gate only lowers the gate for scan-core-bound
+    fan-in pairs, and only when the pair size sits between the lowered
+    and the global gate (otherwise the decision cannot change)."""
+    from pagan2_tpu.graph import build_leaf_graph
+    from pagan2_tpu.models import alphabets as alph
+    from pagan2_tpu.align.viterbi_fanin import (
+        effective_anchor_gate, SCAN_ANCHOR_MIN_SITES)
+    lin = build_leaf_graph("ACGT" * 150, alph.DNA)     # 600 sites
+    # linear chains are never scan-core-bound -> gate unchanged
+    assert effective_anchor_gate(lin, lin, 3000) == 3000
+    small = build_leaf_graph("ACGT" * 40, alph.DNA)    # 160 < 200
+    assert effective_anchor_gate(small, small, 3000) == 3000
+    # a deep-offset graph (skip edge spanning > OFF_CAP sites) IS
+    # scan-core-bound: splice a long bwd edge into a 600-site chain
+    deep = build_leaf_graph("ACGT" * 150, alph.DNA)
+    deep.add_edge(10, 30, 0.5)                         # offset 20 > 7
+    assert effective_anchor_gate(deep, lin, 3000) == \
+        SCAN_ANCHOR_MIN_SITES
